@@ -1,0 +1,31 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+Must set XLA/JAX env vars before jax initializes, hence the top-of-file
+os.environ writes.  float64 is enabled for CPU numerical validation (the TPU
+production path is f32; dtype-sensitivity is tested explicitly).
+"""
+import os
+
+# Force CPU: the shell env may pre-set JAX_PLATFORMS to a real TPU platform
+# (e.g. an axon tunnel); tests must run on the virtual CPU mesh regardless.
+os.environ["JAX_PLATFORMS"] = "cpu"
+xla_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in xla_flags:
+    os.environ["XLA_FLAGS"] = (
+        xla_flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+# The env var alone is not enough here: the container's sitecustomize may
+# have force-registered a remote TPU platform; config.update wins.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)

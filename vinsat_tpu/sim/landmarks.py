@@ -1,0 +1,207 @@
+"""Landmark database as dense arrays + visibility tests.
+
+The reference keeps 34 per-region CSVs of salient landmarks (~495 each,
+sim/landmark_csvs/*_top_salient.csv; readers at sim/SatCam.py:156-164 and
+sim/nadir_sim.py:121-129) and gates imaging on >=3 "best-class" landmarks in
+the footprint (sim/SatCam.py:232-262).
+
+Here the DB is a struct-of-arrays usable on device:
+  lon, lat          (L,) degrees       centroids
+  bbox              (L, 4) degrees     (left_lon, bot_lat, right_lon, top_lat)
+  region            (L,) int32         index into mgrs.ZONE_LABELS
+  cls               (L,) int32         per-region class id (CSV row index)
+  best              (L,) bool          class passed detector QA (best_classes)
+  saliency          (L,) float         saliency score used for downselect
+
+Two sources: `load_csv_dir` reads a VINSat-format CSV directory (for running
+against reference data when present); `synthesize` generates a statistically
+similar DB so the pipeline is fully self-contained.
+"""
+from __future__ import annotations
+
+import csv
+import os
+from typing import NamedTuple, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vinsat_tpu.sim import mgrs
+
+
+class LandmarkDB(NamedTuple):
+    lon: jnp.ndarray
+    lat: jnp.ndarray
+    bbox: jnp.ndarray
+    region: jnp.ndarray
+    cls: jnp.ndarray
+    best: jnp.ndarray
+    saliency: jnp.ndarray
+
+    @property
+    def num_landmarks(self) -> int:
+        return self.lon.shape[0]
+
+
+def synthesize(key, regions: Optional[Sequence[str]] = None,
+               per_region: int = 495, best_fraction: float = 0.2) -> LandmarkDB:
+    """Generate a synthetic landmark DB over the given MGRS regions.
+
+    Landmarks are uniform within each region's bounds with margin; a
+    `best_fraction` subset is marked detector-accepted, mirroring the
+    best_classes downselect (eval/eval_landmarks.py:259-286, the reference's
+    best_classes/*.npy are ~20%-ish of ~495 classes).
+    """
+    if regions is None:
+        regions = mgrs.ACTIVE_REGIONS
+    lons, lats, regs, clss, bests, sals, bboxes = [], [], [], [], [], [], []
+    for r in regions:
+        key, k1, k2, k3, k4 = jax.random.split(key, 5)
+        b = np.asarray(mgrs.ZONE_BOUNDS[mgrs.ZONE_INDEX[r]])
+        lon = b[0] + (b[2] - b[0]) * jax.random.uniform(k1, (per_region,))
+        lat = b[1] + (b[3] - b[1]) * jax.random.uniform(k2, (per_region,))
+        sal = jax.random.uniform(k3, (per_region,))
+        nbest = max(1, int(per_region * best_fraction))
+        best = np.zeros(per_region, dtype=bool)
+        best[np.asarray(jax.random.permutation(k4, per_region))[:nbest]] = True
+        # bbox half-sizes ~ 0.005-0.05 deg (hundreds of m to km scale objects)
+        key, k5 = jax.random.split(key)
+        half = 0.005 + 0.045 * jax.random.uniform(k5, (per_region, 2))
+        lon_np, lat_np, half_np = map(np.asarray, (lon, lat, half))
+        bbox = np.stack(
+            [lon_np - half_np[:, 0], lat_np - half_np[:, 1],
+             lon_np + half_np[:, 0], lat_np + half_np[:, 1]], axis=1
+        )
+        lons.append(lon_np)
+        lats.append(lat_np)
+        regs.append(np.full(per_region, mgrs.ZONE_INDEX[r], dtype=np.int32))
+        clss.append(np.arange(per_region, dtype=np.int32))
+        bests.append(best)
+        sals.append(np.asarray(sal))
+        bboxes.append(bbox)
+    return LandmarkDB(
+        lon=jnp.array(np.concatenate(lons)),
+        lat=jnp.array(np.concatenate(lats)),
+        bbox=jnp.array(np.concatenate(bboxes)),
+        region=jnp.array(np.concatenate(regs)),
+        cls=jnp.array(np.concatenate(clss)),
+        best=jnp.array(np.concatenate(bests)),
+        saliency=jnp.array(np.concatenate(sals)),
+    )
+
+
+def load_csv_dir(path: str, regions: Optional[Sequence[str]] = None,
+                 best_classes_dir: Optional[str] = None) -> LandmarkDB:
+    """Load a VINSat-format landmark CSV directory.
+
+    Expects files named <REGION>_top_salient.csv with Centroid/Top-Left/
+    Bottom-Right Longitude/Latitude columns (format of
+    sim/landmark_csvs/10S_top_salient.csv; reader parity with
+    sim/SatCam.py:156-164).  Optional best_classes_dir with
+    <REGION>_best_classes.npy arrays (SatCam.py:234).
+    """
+    if regions is None:
+        regions = [
+            f.split("_")[0] for f in sorted(os.listdir(path))
+            if f.endswith("_top_salient.csv")
+        ]
+    lons, lats, regs, clss, bests, sals, bboxes = [], [], [], [], [], [], []
+    for r in regions:
+        fp = os.path.join(path, f"{r}_top_salient.csv")
+        with open(fp) as f:
+            rows = list(csv.DictReader(f))
+        n = len(rows)
+        lon = np.array([float(x["Centroid Longitude"]) for x in rows])
+        lat = np.array([float(x["Centroid Latitude"]) for x in rows])
+
+        def col(rows, *names):
+            for nm in names:
+                if rows and nm in rows[0]:
+                    return np.array([float(x[nm]) for x in rows])
+            return None
+
+        ll = col(rows, "Top-Left Longitude", "Top Left Longitude")
+        tt = col(rows, "Top-Left Latitude", "Top Left Latitude")
+        rr = col(rows, "Bottom-Right Longitude", "Bottom Right Longitude")
+        bb = col(rows, "Bottom-Right Latitude", "Bottom Right Latitude")
+        if ll is None:
+            ll, rr = lon - 0.01, lon + 0.01
+            tt, bb = lat + 0.01, lat - 0.01
+        sal = col(rows, "Saliency", "saliency")
+        if sal is None:
+            sal = np.zeros(n)
+        best = np.zeros(n, dtype=bool)
+        if best_classes_dir is not None:
+            bc = os.path.join(best_classes_dir, f"{r}_best_classes.npy")
+            if os.path.exists(bc):
+                idx = np.load(bc).astype(int)
+                best[idx[idx < n]] = True
+        else:
+            best[:] = True
+        lons.append(lon)
+        lats.append(lat)
+        regs.append(np.full(n, mgrs.ZONE_INDEX[r], dtype=np.int32))
+        clss.append(np.arange(n, dtype=np.int32))
+        bests.append(best)
+        sals.append(sal)
+        bboxes.append(np.stack([ll, bb, rr, tt], axis=1))
+    return LandmarkDB(
+        lon=jnp.array(np.concatenate(lons)),
+        lat=jnp.array(np.concatenate(lats)),
+        bbox=jnp.array(np.concatenate(bboxes)),
+        region=jnp.array(np.concatenate(regs)),
+        cls=jnp.array(np.concatenate(clss)),
+        best=jnp.array(np.concatenate(bests)),
+        saliency=jnp.array(np.concatenate(sals)),
+    )
+
+
+def in_bounds_mask(db: LandmarkDB, bounds):
+    """(..., L) mask of landmarks with centroid inside lon/lat box bounds
+    (lon_min, lat_min, lon_max, lat_max), broadcast over leading axes.
+
+    Vectorized version of check_for_landmarks_in_region's box test
+    (SatCam.py:243-248).
+    """
+    lon_min = bounds[..., 0:1]
+    lat_min = bounds[..., 1:2]
+    lon_max = bounds[..., 2:3]
+    lat_max = bounds[..., 3:4]
+    return (
+        (db.lon > lon_min) & (db.lon < lon_max)
+        & (db.lat > lat_min) & (db.lat < lat_max)
+    )
+
+
+def visible_best_count(db: LandmarkDB, bounds, region_active_mask=None):
+    """Number of detector-accepted landmarks in the footprint box.
+
+    The imaging gate is count >= 3 (SatCam.py:249-262).
+    """
+    m = in_bounds_mask(db, bounds) & db.best
+    if region_active_mask is not None:
+        m = m & region_active_mask[db.region]
+    return m.sum(axis=-1)
+
+
+def downselect_by_saliency(saliency: np.ndarray, scales: np.ndarray,
+                           num_landmarks: int, scale_values=None):
+    """Per-scale saliency percentile cut (labeling/ld_downselect.py:24-43).
+
+    Returns a bool keep-mask over the input landmarks.
+    """
+    saliency = np.asarray(saliency)
+    scales = np.asarray(scales)
+    if scale_values is None:
+        scale_values = np.unique(scales)
+    tot = sum((scales == s).sum() for s in scale_values)
+    thresh = (1 - num_landmarks / tot) * 100
+    keep = np.zeros(len(saliency), dtype=bool)
+    for s in scale_values:
+        at = scales == s
+        if not at.any():
+            continue
+        cut = np.percentile(saliency[at], thresh)
+        keep |= at & (saliency > cut)
+    return keep
