@@ -1,0 +1,175 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from vinsat_tpu.core import quat
+from vinsat_tpu.estimation import ba, factors
+from vinsat_tpu.sim import orbits
+
+INTR = jnp.array([3547.8512126219637, 3547.8512126219637, 2304.0, 1296.0])
+
+
+def test_block_tridiag_solve_matches_dense(rng):
+    N, k = 7, 9
+    D = rng.normal(size=(N, k, k))
+    D = D @ D.transpose(0, 2, 1) + 10 * np.eye(k)  # SPD diag blocks
+    U = rng.normal(size=(N - 1, k, k)) * 0.3
+    b = rng.normal(size=(N, k))
+    Dj, Uj, bj = jnp.array(D), jnp.array(U), jnp.array(b)
+    x = np.asarray(ba.block_tridiag_solve(Dj, Uj, bj))
+    H = np.asarray(ba.dense_from_blocks(Dj, Uj))
+    x_dense = np.linalg.solve(H, b.reshape(-1)).reshape(N, k)
+    np.testing.assert_allclose(x, x_dense, rtol=1e-8, atol=1e-10)
+
+
+def test_masked_median():
+    x = jnp.array([[1.0, 2.0], [3.0, 4.0], [100.0, 200.0]])
+    valid = jnp.array([1.0, 1.0, 0.0])
+    m = float(ba._masked_median(x, valid))
+    assert m == 2.5
+
+
+def test_robust_weights_alpha2_uniform():
+    """At sched_iter=0 (alpha=2) weights should be conf-proportional."""
+    r = jnp.array([[1.0, 2.0], [5.0, 1.0], [0.5, 0.1]])
+    conf = jnp.array([0.9, 0.8, 1.0])
+    w = np.asarray(ba.robust_weights(r, conf, jnp.ones(3), jnp.asarray(0)))
+    np.testing.assert_allclose(w, np.asarray(conf), atol=1e-12)
+
+
+def test_robust_weights_downweight_outliers():
+    """At alpha=1 large residuals get smaller weights."""
+    r = jnp.array([[1.0, 1.0], [1.0, 1.0], [50.0, 50.0]])
+    conf = jnp.ones(3)
+    w = np.asarray(ba.robust_weights(r, conf, jnp.ones(3), jnp.asarray(10)))
+    assert w[2] < 0.5 * w[0]
+
+
+def _make_problem(rng, noise_px=0.0, n_knots=6, obs_per_knot=8,
+                  gap=200.0):
+    """Synthetic BA problem along a real simulated orbit with visible
+    landmarks placed near each knot's nadir point."""
+    duration = int(gap * (n_knots - 1))
+    traj = orbits.generate_trajectory(jax.random.PRNGKey(7),
+                                      duration_s=duration)
+    t_idx = (np.arange(n_knots) * gap).astype(int)
+    pos = np.asarray(traj.pos_eci)[t_idx]
+    q = np.asarray(traj.quat_nadir_eci)[t_idx]
+    vel = np.asarray(traj.vel_eci)[t_idx]
+    states_gt = jnp.array(np.concatenate([pos, q, vel], axis=1))
+
+    # landmarks: ground points near each knot's sub-satellite point
+    lms, ii = [], []
+    for k in range(n_knots):
+        ground = pos[k] * (6378.0 / np.linalg.norm(pos[k]))
+        for _ in range(obs_per_knot):
+            lms.append(ground + rng.normal(size=3) * 30.0)
+            ii.append(k)
+    lm_xyz = jnp.array(np.stack(lms))
+    ii = jnp.array(np.array(ii, dtype=np.int32))
+    uv_true = factors.project_landmarks(states_gt, lm_xyz, ii, INTR)
+    uv_meas = uv_true + noise_px * jnp.array(
+        rng.normal(size=uv_true.shape)
+    )
+    M = lm_xyz.shape[0]
+    gaps = jnp.array([gap] * (n_knots - 1) + [0.0])
+    # cumulative IMU rotations over each gap from the GT attitude sequence
+    omega_full = quat.omega_from_sequence(traj.quat_nadir_eci, 1.0)
+    cum_rot = factors.cumulative_rotations(omega_full, 1.0, jnp.array(t_idx))
+    prob = ba.BAProblem(
+        gaps=gaps,
+        cum_rot=cum_rot,
+        landmarks_xyz=lm_xyz,
+        landmarks_uv=uv_meas,
+        conf=jnp.ones(M) * 0.95,
+        ii=ii,
+        obs_valid=jnp.ones(M),
+        knot_valid=jnp.ones(n_knots),
+        pair_valid=jnp.ones(n_knots - 1),
+        intrinsics=INTR,
+    )
+    return states_gt, prob
+
+
+def test_ba_iteration_stays_at_gt_with_zero_noise(rng):
+    """noise=0 ⇒ residuals ~0 at GT ⇒ the LM step keeps states at GT
+    (the reference's noise_level=0 invariant, od_pipe.py:342-343,412)."""
+    states_gt, prob = _make_problem(rng, noise_px=0.0)
+    step = ba.ba_iteration(jnp.asarray(0), states_gt, prob, 1e-4)
+    dp = np.abs(np.asarray(step.states[:, :3] - states_gt[:, :3])).max()
+    assert dp < 2e-3, f"position drifted {dp} km from GT"
+    assert float(step.mean_residual) < 1.0
+
+
+def test_ba_converges_from_perturbed_init(rng):
+    """Perturbed init (10 km / 0.02 rad / 1% vel) converges back to GT."""
+    states_gt, prob = _make_problem(rng, noise_px=1.0)
+    n = states_gt.shape[0]
+    pos0 = states_gt[:, :3] + jnp.array(rng.normal(size=(n, 3)) * 10.0)
+    phi = jnp.array(rng.normal(size=(n, 3)) * 0.02)
+    q0 = quat.box_plus(states_gt[:, 3:7], phi)
+    vel0 = states_gt[:, 7:] * (1 + jnp.array(rng.normal(size=(n, 3)) * 0.01))
+    states = jnp.concatenate([pos0, q0, vel0], axis=-1)
+
+    err0 = np.linalg.norm(np.asarray(states[:, :3] - states_gt[:, :3]),
+                          axis=-1).mean()
+    lam = jnp.asarray(1e-4)
+    for it in range(15):
+        step = ba.ba_iteration(jnp.asarray(it), states, prob, lam,
+                               initialize=(it < 5))
+        states, lam = step.states, step.lamda_init
+    err = np.linalg.norm(np.asarray(states[:, :3] - states_gt[:, :3]),
+                         axis=-1).mean()
+    assert err < 0.15 * err0, f"err {err} km vs initial {err0} km"
+    assert err < 1.0, f"final mean position error {err} km"
+
+
+def test_ba_padding_invariance(rng):
+    """Padded problem (extra knots + obs with valid=0) gives the same update
+    on the real knots."""
+    states_gt, prob = _make_problem(rng, noise_px=1.0, n_knots=4)
+    n = states_gt.shape[0]
+    states = states_gt.at[:, :3].add(jnp.array(rng.normal(size=(n, 3)) * 5.0))
+
+    step_ref = ba.ba_iteration(jnp.asarray(3), states, prob, 1e-4)
+
+    # pad to 6 knots / +16 obs
+    n_pad, extra_m = 6, 16
+    M = prob.landmarks_uv.shape[0]
+    st_p = jnp.concatenate(
+        [states, jnp.tile(jnp.array([0.0, 0, 0, 0, 0, 0, 1.0, 0, 0, 0]), (2, 1))]
+    )
+    prob_p = ba.BAProblem(
+        gaps=jnp.concatenate([prob.gaps, jnp.zeros(2)]),
+        cum_rot=jnp.concatenate(
+            [prob.cum_rot, jnp.zeros((2, 4)).at[:, 3].set(1.0)]
+        ),
+        landmarks_xyz=jnp.concatenate([prob.landmarks_xyz, jnp.zeros((extra_m, 3))]),
+        landmarks_uv=jnp.concatenate([prob.landmarks_uv, jnp.zeros((extra_m, 2))]),
+        conf=jnp.concatenate([prob.conf, jnp.zeros(extra_m)]),
+        ii=jnp.concatenate([prob.ii, jnp.zeros(extra_m, dtype=jnp.int32)]),
+        obs_valid=jnp.concatenate([prob.obs_valid, jnp.zeros(extra_m)]),
+        knot_valid=jnp.concatenate([prob.knot_valid, jnp.zeros(2)]),
+        pair_valid=jnp.concatenate([prob.pair_valid, jnp.zeros(2)]),
+        intrinsics=prob.intrinsics,
+    )
+    step_pad = ba.ba_iteration(jnp.asarray(3), st_p, prob_p, 1e-4)
+    np.testing.assert_allclose(
+        np.asarray(step_pad.states[:n]), np.asarray(step_ref.states),
+        rtol=1e-7, atol=1e-9,
+    )
+
+
+def test_ba_initialize_mode_vision_only(rng):
+    """initialize=True must ignore dynamics: perturbing velocities hugely
+    changes nothing in the update."""
+    states_gt, prob = _make_problem(rng, noise_px=0.5, n_knots=4)
+    states = states_gt.at[:, :3].add(1.0)
+    s1 = ba.ba_iteration(jnp.asarray(0), states, prob, 1e-4, initialize=True)
+    states_badvel = states.at[:, 7:].multiply(50.0)
+    s2 = ba.ba_iteration(jnp.asarray(0), states_badvel, prob, 1e-4,
+                         initialize=True)
+    np.testing.assert_allclose(
+        np.asarray(s1.states[:, :7]), np.asarray(s2.states[:, :7]),
+        rtol=1e-9, atol=1e-9,
+    )

@@ -1,0 +1,105 @@
+import numpy as np
+
+from vinsat_tpu.estimation import ingest
+
+
+def rows_from(frames, conf=0.95):
+    m = len(frames)
+    out = np.zeros((m, 6))
+    out[:, 0] = frames
+    out[:, 1] = -122.0
+    out[:, 2] = 37.0
+    out[:, 3] = 2000.0
+    out[:, 4] = 1000.0
+    out[:, 5] = conf
+    return out
+
+
+def test_build_graph_filler_knots():
+    """Knots at detection times + fillers every 1000 s + tail fillers
+    (read_detections, od_pipe.py:214-247)."""
+    frames = [1205, 1205, 1210, 3405, 3410]
+    g = ingest.build_graph(rows_from(frames), orbit_len=10800)
+    # fillers: 2000, 3000 between 1210 and 3405; tail 4000..10000
+    want_times = [1205, 1210, 2000, 3000, 3405, 3410,
+                  4000, 5000, 6000, 7000, 8000, 9000, 10000]
+    assert list(g.time_idx) == want_times
+    # ii: obs 0,1 -> knot 0; obs 2 -> knot 1; obs 3 -> knot 4; obs 4 -> knot 5
+    assert list(g.ii) == [0, 0, 1, 4, 5]
+
+
+def test_build_graph_detection_on_stride():
+    """A detection exactly at a stride multiple consumes the filler slot."""
+    g = ingest.build_graph(rows_from([500, 2000, 2100]), orbit_len=3500)
+    assert list(g.time_idx) == [500, 1000, 2000, 2100, 3000]
+    assert list(g.ii) == [0, 2, 3]
+
+
+def test_split_windows_gap_rule():
+    """Split at obs-gap > 200 s after > 4 contiguous (<100 s) gaps
+    (identify_next_batch_new, od_pipe.py:898-905)."""
+    # knots: 6 close-together detections then a big gap, then more
+    time_idx = np.array([0, 10, 20, 30, 40, 50, 500, 510, 520, 530, 540, 550])
+    ii = np.arange(12)
+    wins = ingest.split_windows(ii, time_idx)
+    assert wins[0] == (6, 6, False)
+    assert wins[-1][2] is True
+    assert wins[-1][0] == 12
+
+
+def test_split_windows_no_split_when_sparse():
+    time_idx = np.array([0, 300, 600, 900])  # all gaps > 200 but no 5 contiguous
+    ii = np.arange(4)
+    wins = ingest.split_windows(ii, time_idx)
+    assert wins == [(4, 4, True)]
+
+
+def test_gate_and_compact():
+    frames = [100, 100, 100, 2500]
+    g = ingest.build_graph(rows_from(frames), orbit_len=3000)
+    # fabricate GT with landmarks + projections
+    N = len(g.time_idx)
+    gt = ingest.GroundTruth(
+        pos_eci=np.zeros((N, 3)), vel_eci=np.zeros((N, 3)),
+        quat_eci=np.tile([0, 0, 0, 1.0], (N, 1)),
+        pos_eci_full=np.zeros((3000, 3)),
+        quat_eci_full=np.tile([0, 0, 0, 1.0], (3000, 1)),
+        omega_full=np.zeros((3000, 3)),
+        landmarks_xyz=np.zeros((4, 3)),
+        states=np.concatenate(
+            [np.zeros((N, 3)), np.tile([0, 0, 0, 1.0], (N, 1)),
+             np.zeros((N, 3))], axis=1),
+    )
+    # obs 1 reprojects 1500 px away -> dropped; others pass
+    uv_proj = np.tile([2000.0, 1000.0], (4, 1))
+    uv_proj[1] = [3500.0, 1000.0]
+    g2, gt2, mask = ingest.gate_and_compact(g, gt, uv_proj)
+    assert mask.tolist() == [True, False, True, True]
+    assert len(g2.ii) == 3
+    # knot 0 (t=100) keeps obs; knots at 1000/2000 are stride knots; knot
+    # with t=2500 keeps its obs
+    assert list(g2.time_idx) == list(g.time_idx)  # no knot dropped here
+    assert list(g2.ii) == [0, 0, 3]
+
+
+def test_gate_drops_knot_without_obs():
+    frames = [150, 2500]
+    g = ingest.build_graph(rows_from(frames), orbit_len=3000)
+    assert list(g.time_idx) == [150, 1000, 2000, 2500, 3000]
+    N = len(g.time_idx)
+    gt = ingest.GroundTruth(
+        pos_eci=np.zeros((N, 3)), vel_eci=np.zeros((N, 3)),
+        quat_eci=np.tile([0, 0, 0, 1.0], (N, 1)),
+        pos_eci_full=np.zeros((3000, 3)),
+        quat_eci_full=np.tile([0, 0, 0, 1.0], (3000, 1)),
+        omega_full=np.zeros((3000, 3)),
+        landmarks_xyz=np.zeros((2, 3)),
+        states=np.concatenate(
+            [np.zeros((N, 3)), np.tile([0, 0, 0, 1.0], (N, 1)),
+             np.zeros((N, 3))], axis=1),
+    )
+    uv_proj = np.tile([2000.0, 1000.0], (2, 1))
+    uv_proj[0] = [9000.0, 1000.0]  # drop obs at t=150 -> knot 150 dropped
+    g2, _, _ = ingest.gate_and_compact(g, gt, uv_proj)
+    assert list(g2.time_idx) == [1000, 2000, 2500, 3000]
+    assert list(g2.ii) == [2]

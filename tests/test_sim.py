@@ -1,0 +1,201 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from vinsat_tpu.core import frames
+from vinsat_tpu.sim import camera as cam_mod
+from vinsat_tpu.sim import detections as det_mod
+from vinsat_tpu.sim import landmarks as lm_mod
+from vinsat_tpu.sim import mgrs, orbits
+
+
+def test_oe_eci_roundtrip():
+    oe = orbits.OrbitalElements(
+        a=jnp.array(6900.0), e=jnp.array(0.005), i=jnp.array(1.4),
+        Omega=jnp.array(0.7), omega=jnp.array(0.3), nu=jnp.array(2.1),
+    )
+    x = orbits.oe_to_eci(oe)
+    oe2 = orbits.eci_to_oe(x)
+    np.testing.assert_allclose(float(oe2.a), 6900.0, rtol=1e-9)
+    np.testing.assert_allclose(float(oe2.e), 0.005, atol=1e-9)
+    np.testing.assert_allclose(float(oe2.i), 1.4, atol=1e-9)
+    np.testing.assert_allclose(float(oe2.Omega), 0.7, atol=1e-9)
+    np.testing.assert_allclose(float(oe2.omega), 0.3, atol=1e-7)
+    np.testing.assert_allclose(float(oe2.nu), 2.1, atol=1e-7)
+
+
+def test_oe_to_eci_radius_velocity_sane():
+    oe = orbits.sample_polar_oe(jax.random.PRNGKey(3))
+    x = np.asarray(orbits.oe_to_eci(jax.tree.map(jnp.float64, oe)))
+    r = np.linalg.norm(x[:3])
+    v = np.linalg.norm(x[3:])
+    assert 6800 < r < 7050
+    assert 7.0 < v < 8.0
+
+
+def test_generate_trajectory_shapes_and_altitude():
+    traj = orbits.generate_trajectory(jax.random.PRNGKey(0), duration_s=600)
+    assert traj.pos_eci.shape == (601, 3)
+    assert traj.quat_nadir_eci.shape == (601, 4)
+    radii = np.linalg.norm(np.asarray(traj.pos_eci), axis=-1)
+    assert radii.min() > 6850 and radii.max() < 7000
+    # nadir quaternion boresight points to Earth centre
+    from vinsat_tpu.core import quat
+
+    R = np.asarray(quat.to_matrix(traj.quat_nadir_eci))
+    zc = R[..., 2]
+    want = -np.asarray(traj.pos_eci) / radii[:, None]
+    np.testing.assert_allclose(zc, want, atol=1e-9)
+
+
+def test_generate_constellation_vmapped():
+    traj = orbits.generate_constellation(jax.random.PRNGKey(1), 3, duration_s=60)
+    assert traj.pos_eci.shape == (3, 61, 3)
+    # orbits differ
+    assert np.abs(np.asarray(traj.pos_eci[0] - traj.pos_eci[1])).max() > 10.0
+
+
+def test_mgrs_grid_matches_special_zones():
+    grid = mgrs.mgrs_grid()
+    assert grid["31V"] == (0.0, 56.0, 3.0, 64.0)
+    assert grid["32V"] == (3.0, 56.0, 12.0, 64.0)
+    assert "32X" not in grid and "34X" not in grid and "36X" not in grid
+    assert grid["31X"] == (0.0, 72.0, 9.0, 84.0)
+    # a regular zone: 10S covers lon [-126,-120), lat [32,40)
+    assert grid["10S"] == (-126.0, 32.0, -120.0, 40.0)
+    # 20 lat rows x 60 lon cols (X-band entries overwrite the lat=72 row),
+    # minus the 3 deleted Svalbard zones
+    assert len(grid) == 20 * 60 - 3
+
+
+def test_zone_of_lookup():
+    idx = mgrs.zone_of(jnp.array([-122.0, 5.0]), jnp.array([37.0, 60.0]))
+    labels = [mgrs.ZONE_LABELS[i] for i in np.asarray(idx)]
+    assert labels[0] == "10S"
+    assert labels[1] == "32V"  # Norway special zone
+
+
+def test_camera_intrinsics_match_reference_csv():
+    cam = cam_mod.CameraModel.from_hfov()
+    # estimation/landmarks/intrinsics.csv row 0: 3547.8512126219637,...,2304,1296
+    np.testing.assert_allclose(cam.fx, 3547.851, atol=1e-2)
+    assert cam.cx == 2304 and cam.cy == 1296
+
+
+def test_project_ray_roundtrip():
+    cam = cam_mod.CameraModel.from_hfov()
+    pos = jnp.array([7000e3, 0.0, 0.0])
+    pose = cam_mod.CameraPose.nadir(pos)
+    uv = jnp.array([[100.0, 200.0], [2304.0, 1296.0], [4000.0, 2500.0]])
+    rays = cam_mod.pixel_to_ray(cam, pose, uv)
+    pts, hit = cam_mod.cast_ray_to_earth(pos, rays)
+    assert bool(jnp.all(hit))
+    uv2, z = cam_mod.world_to_pixel(cam, pose, pts)
+    assert bool(jnp.all(z > 0))
+    np.testing.assert_allclose(np.asarray(uv2), np.asarray(uv), atol=1e-6)
+
+
+def test_cast_ray_nadir_hits_subpoint():
+    pos = jnp.array([7000e3, 0.0, 0.0])
+    d = jnp.array([[-1.0, 0.0, 0.0]])
+    pts, hit = cam_mod.cast_ray_to_earth(pos, d)
+    assert bool(hit[0])
+    np.testing.assert_allclose(float(pts[0, 0]), cam_mod.ELLIPSOID_A, rtol=1e-12)
+
+
+def test_cast_ray_miss_returns_nan():
+    pos = jnp.array([7000e3, 0.0, 0.0])
+    d = jnp.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]])  # away + tangent-ish
+    pts, hit = cam_mod.cast_ray_to_earth(pos, d)
+    assert not bool(hit[0]) and not bool(hit[1])
+    assert bool(jnp.all(jnp.isnan(pts)))
+
+
+def test_footprint_bounds_contains_subpoint():
+    pos_km = jnp.array([6950.0, 100.0, 300.0])
+    pose = cam_mod.CameraPose.nadir(pos_km * 1000.0)
+    cam = cam_mod.CameraModel.from_hfov()
+    bounds, ok = cam_mod.footprint_bounds(cam, pose)
+    assert bool(ok)
+    lat, lon, _ = frames.ecef_to_geodetic(pos_km)
+    b = np.asarray(bounds)
+    assert b[0] < float(lon) < b[2]
+    assert b[1] < float(lat) < b[3]
+    # footprint of 66 deg HFOV at ~570 km alt is ~7 deg of lon at equator
+    assert (b[2] - b[0]) < 20 and (b[3] - b[1]) < 20
+
+
+def test_landmark_db_synthesize_and_visibility():
+    db = lm_mod.synthesize(jax.random.PRNGKey(0), regions=["10S"], per_region=100)
+    assert db.num_landmarks == 100
+    b = np.asarray(mgrs.ZONE_BOUNDS[mgrs.ZONE_INDEX["10S"]])
+    assert np.asarray(db.lon).min() >= b[0] and np.asarray(db.lon).max() <= b[2]
+    bounds = jnp.array(b)
+    n = lm_mod.visible_best_count(db, bounds)
+    assert int(n) == int(np.asarray(db.best).sum())
+
+
+def test_downselect_by_saliency():
+    rng = np.random.default_rng(0)
+    sal = rng.uniform(size=300)
+    scales = np.repeat([0, 5, 10], 100)
+    keep = lm_mod.downselect_by_saliency(sal, scales, 30)
+    assert 20 <= keep.sum() <= 40
+    for s in (0, 5, 10):
+        at = scales == s
+        if keep[at].any():
+            assert sal[at][keep[at]].min() >= np.percentile(sal[at], 85)
+
+
+def _equator_trajectory(n=40):
+    """Synthetic track passing over region 10S."""
+    lat0, lon0 = 36.0, -123.0
+    ts = jnp.arange(n, dtype=jnp.float64)
+    lats = lat0 + 0.05 * ts
+    lons = jnp.full_like(lats, lon0)
+    ground = frames.geodetic_to_ecef(lats, lons)
+    pos_ecef = ground * (1 + 550.0 / 6371.0)
+    pos_eci = frames.ecef_to_eci(pos_ecef, ts)
+    return orbits.Trajectory(
+        pos_eci=pos_eci,
+        vel_eci=jnp.zeros_like(pos_eci),
+        quat_nadir_eci=frames.nadir_quaternion(pos_eci),
+        quat_body_eci=jnp.zeros((n, 4)).at[:, 3].set(1.0),
+        omega_body=jnp.zeros((n, 3)),
+        times=ts,
+    )
+
+
+def test_detection_generation_zero_noise_reprojects_exactly():
+    traj = _equator_trajectory()
+    db = lm_mod.synthesize(jax.random.PRNGKey(0), regions=["10S"], per_region=300,
+                           best_fraction=0.5)
+    dets = det_mod.generate_detections(
+        jax.random.PRNGKey(1), traj, db, noise_px=0.0, max_dets=6
+    )
+    valid = np.asarray(dets.valid)
+    assert valid.sum() > 10, "expected some detections over 10S"
+    err = np.abs(np.asarray(dets.uv - dets.uv_true))[valid]
+    np.testing.assert_allclose(err, 0.0, atol=1e-9)
+    rows = det_mod.to_rows(dets, db)
+    assert rows.shape[1] == 6
+    assert rows.shape[0] == valid.sum()
+    # uv inside image
+    assert (rows[:, 3] >= 0).all() and (rows[:, 3] < 4608).all()
+    assert (rows[:, 4] >= 0).all() and (rows[:, 4] < 2592).all()
+    # confidences in range
+    assert (rows[:, 5] >= 0.5).all() and (rows[:, 5] <= 1.0).all()
+
+
+def test_detection_noise_statistics():
+    traj = _equator_trajectory()
+    db = lm_mod.synthesize(jax.random.PRNGKey(0), regions=["10S"], per_region=300,
+                           best_fraction=0.5)
+    dets = det_mod.generate_detections(
+        jax.random.PRNGKey(1), traj, db, noise_px=4.0, max_dets=6
+    )
+    stats = det_mod.px_error_stats(dets)
+    assert stats["n"] > 10
+    # mean |N(0,4)| = 4*sqrt(2/pi) ~ 3.2 px; generous bounds
+    assert 1.0 < stats["mean_x"] < 6.0
+    assert stats["mean_x"] < 10.0  # detector acceptance bound

@@ -1,0 +1,299 @@
+"""Streaming orbit-determination driver (the system's main entry point).
+
+Functional replica of streaming_version (estimation/od_pipe.py:911-1062):
+windows split on detection gaps, each window solves a growing-prefix BA with
+20 LM iterations (vision-only init for the first 10 of window 0), states are
+RK4+quaternion propagated across inter-window gaps, and propagation errors /
+end-of-window errors are recorded for the time-to-<5km metric.
+
+TPU design:
+  * the per-window 20-iteration LM solve is ONE jitted function
+    (`solve_window`) — a lax.fori_loop over ba.ba_iteration; no host
+    round-trips inside a window;
+  * window shapes are padded to buckets so the solve compiles once per
+    bucket, not per window;
+  * host code only slices numpy arrays and sequences windows.
+"""
+from __future__ import annotations
+
+import functools
+from typing import List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vinsat_tpu.core import dynamics, quat
+from vinsat_tpu.estimation import ba, factors, ingest
+
+
+def bucket(n: int, step: int = 16, minimum: int = 16) -> int:
+    return max(minimum, ((n + step - 1) // step) * step)
+
+
+@functools.partial(jax.jit, static_argnames=("num_iters",))
+def solve_window(states0, prob: ba.BAProblem, lamda_init, init_iters,
+                 num_iters: int, params: ba.SolverParams = ba.SolverParams()):
+    """num_iters LM iterations over one (padded) window.
+
+    init_iters: number of leading vision-only iterations (od_pipe.py:1038
+    uses 10 for the first window, 0 afterwards).  The schedule index passed
+    to α/Σ is the plain iteration number, matching the streaming path
+    (BA(iter, ...), od_pipe.py:1038).
+    """
+
+    def body(i, carry):
+        states, lam, last_h = carry
+        step = ba.ba_iteration(
+            i, states, prob, lam, params=params,
+            initialize=(i < init_iters),
+        )
+        return (step.states, step.lamda_init, step.last_hessian)
+
+    init = (states0, jnp.asarray(lamda_init, states0.dtype),
+            jnp.zeros((9, 9), states0.dtype))
+    states, lam, last_h = jax.lax.fori_loop(0, num_iters, body, init)
+    return states, lam, last_h
+
+
+@functools.partial(jax.jit, static_argnames=("max_len",))
+def propagate_segment(state10, omega_seq, length, max_len: int):
+    """Dense 1 Hz propagation of one state over `length` steps (padded to
+    max_len), rolling the quaternion with the IMU rotations.
+
+    Equivalent of propagate_dynamics_init (BA_utils.py:114-129).  Returns
+    (max_len+1, 10); entries past `length` hold the final state.
+    """
+    pos, q, vel = state10[:3], state10[3:7], state10[7:10]
+    x0 = jnp.concatenate([pos, vel])
+
+    def body(carry, inp):
+        x, qq = carry
+        om, k = inp
+        active = k < length
+        xn = dynamics.rk4_step(x, 1.0)
+        qn = quat.multiply(qq, quat.exp(om))
+        x = jnp.where(active, xn, x)
+        qq = jnp.where(active, qn, qq)
+        return (x, qq), (x, qq)
+
+    ks = jnp.arange(max_len)
+    (_, _), (xs, qs) = jax.lax.scan(body, (x0, q), (omega_seq, ks))
+    xs = jnp.concatenate([x0[None], xs], axis=0)
+    qs = jnp.concatenate([q[None], qs], axis=0)
+    return jnp.concatenate([xs[:, :3], qs, xs[:, 3:6]], axis=-1)
+
+
+class StreamingResult(NamedTuple):
+    errors: np.ndarray  # (K,) km position errors at recorded times
+    times: np.ndarray  # (K,) frame times of those errors
+    first_detection: int
+    final_states: np.ndarray  # (N, 10) final optimized knot states
+    knot_times: np.ndarray  # (N,)
+
+
+class StreamingConfig(NamedTuple):
+    num_iters: int = 20
+    init_iters: int = 10
+    lambda_init: float = 1e-4
+    noise_pos_km: float = 100.0
+    noise_ori_rad: float = 0.2
+    noise_vel_rel: float = 0.1
+    prop_bucket: int = 1024
+    knot_bucket: int = 16
+    obs_bucket: int = 64
+    dtype: str = "float64"
+
+
+def _pad_problem(states, gaps, cum_rot, lm_xyz, lm_uv, conf, ii,
+                 n_pad: int, m_pad: int, dtype) -> Tuple[jnp.ndarray, ba.BAProblem]:
+    n = states.shape[0]
+    m = lm_uv.shape[0]
+    st = np.zeros((n_pad, 10))
+    st[:, 6] = 1.0  # identity quats on padding
+    st[:n] = states
+    g = np.zeros(n_pad)
+    g[:n] = gaps
+    cr = np.zeros((n_pad, 4))
+    cr[:, 3] = 1.0
+    cr[:n] = cum_rot
+    lxyz = np.zeros((m_pad, 3))
+    lxyz[:m] = lm_xyz
+    luv = np.zeros((m_pad, 2))
+    luv[:m] = lm_uv
+    cf = np.zeros(m_pad)
+    cf[:m] = conf
+    iin = np.zeros(m_pad, dtype=np.int32)
+    iin[:m] = ii
+    ov = np.zeros(m_pad)
+    ov[:m] = 1.0
+    kv = np.zeros(n_pad)
+    kv[:n] = 1.0
+    pv = np.zeros(max(n_pad - 1, 1))
+    pv[: max(n - 1, 0)] = 1.0
+    jd = jnp.dtype(dtype)
+    prob = ba.BAProblem(
+        gaps=jnp.asarray(g, jd),
+        cum_rot=jnp.asarray(cr, jd),
+        landmarks_xyz=jnp.asarray(lxyz, jd),
+        landmarks_uv=jnp.asarray(luv, jd),
+        conf=jnp.asarray(cf, jd),
+        ii=jnp.asarray(iin),
+        obs_valid=jnp.asarray(ov, jd),
+        knot_valid=jnp.asarray(kv, jd),
+        pair_valid=jnp.asarray(pv, jd),
+        intrinsics=jnp.asarray(
+            np.array([3547.8512126219637, 3547.8512126219637, 2304.0, 1296.0]),
+            jd,
+        ),
+    )
+    return jnp.asarray(st, jd), prob
+
+
+def stream_orbit(det_rows: np.ndarray, orbit_pos_eci_km: np.ndarray,
+                 seed: int = 0, cfg: StreamingConfig = StreamingConfig(),
+                 solver: ba.SolverParams = ba.SolverParams(),
+                 intrinsics: Optional[np.ndarray] = None) -> StreamingResult:
+    """Run streaming OD on one detection sequence.
+
+    det_rows: (M, 6) [frame, lon, lat, xc, yc, conf]; orbit_pos_eci_km:
+    (T, 3) GT 1 Hz ECI positions in km.  Returns recorded errors/times for
+    the time-to-<5km evaluation (od_pipe.py:1061-1062).
+    """
+    rng = np.random.default_rng(seed)
+    dtype = cfg.dtype
+    T = orbit_pos_eci_km.shape[0]
+
+    if len(det_rows) == 0:
+        return StreamingResult(np.array([]), np.array([]), -1,
+                               np.zeros((0, 10)), np.array([], dtype=np.int64))
+    graph = ingest.build_graph(det_rows, T)
+    gt = ingest.process_ground_truths(orbit_pos_eci_km, graph)
+
+    # gate on GT reprojection (od_pipe.py:929-930)
+    intr = jnp.asarray(
+        intrinsics if intrinsics is not None
+        else np.array([3547.8512126219637, 3547.8512126219637, 2304.0, 1296.0])
+    )
+    uv_proj = np.asarray(
+        factors.project_landmarks(
+            jnp.asarray(gt.states), jnp.asarray(gt.landmarks_xyz),
+            jnp.asarray(graph.ii), intr,
+        )
+    )
+    graph, gt, _ = ingest.gate_and_compact(graph, gt, uv_proj)
+
+    N = len(graph.time_idx)
+    if len(graph.ii) == 0 or N < 2:
+        return StreamingResult(np.array([]), np.array([]), -1,
+                               gt.states, graph.time_idx)
+
+    # initial guess: GT + noise (od_pipe.py:962-969)
+    pos0 = gt.states[:, :3] + rng.standard_normal((N, 3)) * cfg.noise_pos_km
+    phi = np.asarray(quat.log(jnp.asarray(gt.states[:, 3:7])))
+    phi = phi + rng.standard_normal((N, 3)) * cfg.noise_ori_rad
+    q0 = np.asarray(quat.exp(jnp.asarray(phi)))
+    vel_scale = np.abs(gt.states[:, 7:10]).mean()
+    vel0 = gt.states[:, 7:10] + rng.standard_normal((N, 3)) * vel_scale * cfg.noise_vel_rel
+    states = np.concatenate([pos0, q0, vel0], axis=1)
+
+    # per-knot gap durations + cumulative rotations
+    knot_t = graph.time_idx
+    gaps = np.concatenate([np.diff(knot_t), [0]]).astype(np.float64)
+    cum_rot = np.asarray(
+        factors.cumulative_rotations(
+            jnp.asarray(gt.omega_full), 1.0, jnp.asarray(knot_t)
+        )
+    )
+
+    windows = ingest.split_windows(graph.ii, knot_t)
+
+    errors: List[np.ndarray] = []
+    times: List[np.ndarray] = []
+    first_detection = int(knot_t[windows[0][0] - 1])
+    lamda = cfg.lambda_init
+    cur_states: Optional[np.ndarray] = None  # optimized prefix (t_final_prev)
+    t_prev = 0
+    max_hops = int(np.ceil(gaps.max() / solver.max_substep)) + 1
+    solver = solver._replace(num_hops=max(solver.num_hops, max_hops))
+
+    for w, (t_final, i_final, seq_end) in enumerate(windows):
+        if w == 0:
+            window_states = states[:t_final]
+        else:
+            # propagate from the last optimized knot across the gap
+            # (od_pipe.py:1006-1029)
+            t_init = t_prev
+            span = int(knot_t[t_final - 1] - knot_t[t_init - 1])
+            om = gt.omega_full[knot_t[t_init - 1]:knot_t[t_final - 1]]
+            max_len = bucket(span, cfg.prop_bucket, cfg.prop_bucket)
+            om_pad = np.zeros((max_len, 3))
+            om_pad[:om.shape[0]] = om
+            path = np.asarray(
+                propagate_segment(
+                    jnp.asarray(cur_states[-1], jnp.dtype(dtype)),
+                    jnp.asarray(om_pad, jnp.dtype(dtype)),
+                    jnp.asarray(span), max_len,
+                )
+            )
+            new_knots = knot_t[t_init:t_final] - knot_t[t_init - 1]
+            states_prop = path[new_knots]
+            window_states = np.concatenate([cur_states, states_prop], axis=0)
+            # record propagation errors at the new knots except the last
+            err_prop = np.linalg.norm(
+                states_prop[:, :3] - gt.states[t_init:t_final, :3], axis=-1
+            )[:-1]
+            errors.append(err_prop)
+            times.append(knot_t[t_init:t_final][:-1])
+
+        n_pad = bucket(t_final, cfg.knot_bucket)
+        m_pad = bucket(i_final, cfg.obs_bucket, cfg.obs_bucket)
+        st0, prob = _pad_problem(
+            window_states, gaps[:t_final], cum_rot[:t_final],
+            gt.landmarks_xyz[:i_final], graph.uv[:i_final],
+            graph.conf[:i_final], graph.ii[:i_final], n_pad, m_pad, dtype,
+        )
+        init_iters = cfg.init_iters if w == 0 else 0
+        out_states, lam_new, _ = solve_window(
+            st0, prob, lamda, jnp.asarray(init_iters), cfg.num_iters, solver
+        )
+        lamda = float(lam_new)
+        cur_states = np.asarray(out_states)[:t_final]
+        t_prev = t_final
+
+        errors.append(
+            np.linalg.norm(cur_states[-1:, :3] - gt.states[t_final - 1:t_final, :3],
+                           axis=-1)
+        )
+        times.append(knot_t[t_final - 1:t_final])
+
+        if seq_end and t_final < len(knot_t):
+            # tail propagation (od_pipe.py:1045-1059)
+            t_init = t_final
+            span = int(knot_t[-1] - knot_t[t_init - 1])
+            om = gt.omega_full[knot_t[t_init - 1]:knot_t[-1]]
+            max_len = bucket(span, cfg.prop_bucket, cfg.prop_bucket)
+            om_pad = np.zeros((max_len, 3))
+            om_pad[:om.shape[0]] = om
+            path = np.asarray(
+                propagate_segment(
+                    jnp.asarray(cur_states[-1], jnp.dtype(dtype)),
+                    jnp.asarray(om_pad, jnp.dtype(dtype)),
+                    jnp.asarray(span), max_len,
+                )
+            )
+            new_knots = knot_t[t_init:] - knot_t[t_init - 1]
+            states_prop = path[new_knots]
+            err_prop = np.linalg.norm(
+                states_prop[:, :3] - gt.states[t_init:, :3], axis=-1
+            )
+            errors.append(err_prop)
+            times.append(knot_t[t_init:])
+
+    return StreamingResult(
+        errors=np.concatenate(errors) if errors else np.array([]),
+        times=np.concatenate(times) if times else np.array([]),
+        first_detection=first_detection,
+        final_states=cur_states,
+        knot_times=knot_t[:t_prev],
+    )

@@ -1,0 +1,140 @@
+"""End-to-end pipeline entry points: simulate -> estimate -> evaluate.
+
+Mirrors the reference's top-level flows:
+  * simulate_sequence   — sim/nadir_sim.run_sim (detection-sequence
+    generation, geometry-only detector stage);
+  * run_streaming       — estimation/od_pipe.streaming_version + __main__
+    loop (od_pipe.py:911-1086);
+  * run_full_batch      — estimation/od_pipe.full_batch_optimization
+    (od_pipe.py:312-379).
+"""
+from __future__ import annotations
+
+from typing import List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vinsat_tpu.config import PipelineConfig, DEFAULT_CONFIG
+from vinsat_tpu.estimation import ba, factors, ingest
+from vinsat_tpu.estimation.window import (StreamingConfig, StreamingResult,
+                                          stream_orbit)
+from vinsat_tpu.evalx import ate
+from vinsat_tpu.sim import detections as det_mod
+from vinsat_tpu.sim import landmarks as lm_mod
+from vinsat_tpu.sim import orbits
+
+
+class SimulatedSequence(NamedTuple):
+    det_rows: np.ndarray  # (M, 6) [frame, lon, lat, xc, yc, conf]
+    orbit_pos_eci_km: np.ndarray  # (T, 3)
+    traj: orbits.Trajectory
+    db: lm_mod.LandmarkDB
+
+
+def simulate_sequence(seed: int, duration_s: int = 10800,
+                      db: Optional[lm_mod.LandmarkDB] = None,
+                      noise_px: float = 4.0, frame_stride: int = 1,
+                      max_dets: int = 8) -> SimulatedSequence:
+    """Generate one detection sequence over a random LEO orbit
+    (run_sim, sim/nadir_sim.py:138-265, geometry-only detector stage)."""
+    key = jax.random.PRNGKey(seed)
+    k_traj, k_db, k_det = jax.random.split(key, 3)
+    traj = orbits.generate_trajectory(k_traj, duration_s=duration_s)
+    if db is None:
+        db = lm_mod.synthesize(k_db)
+    dets = det_mod.generate_detections(
+        k_det, traj, db, noise_px=noise_px, max_dets=max_dets,
+        conf_low=0.82,  # post-gate confidences (OD gate keeps conf>0.8)
+        frame_stride=frame_stride,
+    )
+    rows = det_mod.to_rows(dets, db, frame_stride)
+    return SimulatedSequence(rows, np.asarray(traj.pos_eci), traj, db)
+
+
+def run_streaming(seq: SimulatedSequence, seed: int = 0,
+                  cfg: StreamingConfig = StreamingConfig()) -> StreamingResult:
+    return stream_orbit(seq.det_rows, seq.orbit_pos_eci_km, seed=seed, cfg=cfg)
+
+
+def run_batch_eval(seeds: List[int], duration_s: int = 10800,
+                   cfg: StreamingConfig = StreamingConfig()) -> dict:
+    """Multi-orbit evaluation loop (od_pipe.py __main__ :1063-1086) ending in
+    the time-to-<5km summary (errors_eval.py)."""
+    errors, times = [], []
+    for s in seeds:
+        seq = simulate_sequence(s, duration_s)
+        if len(seq.det_rows) == 0:
+            continue
+        res = run_streaming(seq, seed=s, cfg=cfg)
+        errors.append(res.errors)
+        times.append(res.times)
+    return ate.summarize(errors, times)
+
+
+def run_full_batch(seq: SimulatedSequence, seed: int = 0,
+                   num_iters: int = 100, init_iters: int = 10,
+                   cfg: StreamingConfig = StreamingConfig()
+                   ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Whole-arc optimization (full_batch_optimization, od_pipe.py:312-379):
+    num_iters LM iterations with schedule index i - init_iters and
+    vision-only init for the first init_iters.
+
+    Returns (final knot states, knot times, GT knot states).
+    """
+    from vinsat_tpu.core import quat
+    from vinsat_tpu.estimation.window import _pad_problem, bucket, solve_window
+
+    rng = np.random.default_rng(seed)
+    orbit = seq.orbit_pos_eci_km
+    T = orbit.shape[0]
+    graph = ingest.build_graph(seq.det_rows, T)
+    gt = ingest.process_ground_truths(orbit, graph)
+    intr = jnp.asarray([3547.8512126219637, 3547.8512126219637, 2304.0, 1296.0])
+    uv_proj = np.asarray(
+        factors.project_landmarks(
+            jnp.asarray(gt.states), jnp.asarray(gt.landmarks_xyz),
+            jnp.asarray(graph.ii), intr,
+        )
+    )
+    graph, gt, _ = ingest.gate_and_compact(graph, gt, uv_proj)
+
+    N = len(graph.time_idx)
+    pos0 = gt.states[:, :3] + rng.standard_normal((N, 3)) * cfg.noise_pos_km
+    phi = np.asarray(quat.log(jnp.asarray(gt.states[:, 3:7])))
+    phi = phi + rng.standard_normal((N, 3)) * cfg.noise_ori_rad
+    q0 = np.asarray(quat.exp(jnp.asarray(phi)))
+    vs = np.abs(gt.states[:, 7:10]).mean()
+    vel0 = gt.states[:, 7:10] + rng.standard_normal((N, 3)) * vs * cfg.noise_vel_rel
+    states = np.concatenate([pos0, q0, vel0], axis=1)
+
+    gaps = np.concatenate([np.diff(graph.time_idx), [0]]).astype(np.float64)
+    cum_rot = np.asarray(
+        factors.cumulative_rotations(
+            jnp.asarray(gt.omega_full), 1.0, jnp.asarray(graph.time_idx)
+        )
+    )
+    solver = ba.SolverParams(
+        num_hops=int(np.ceil(gaps.max() / 100.0)) + 1
+    )
+    n_pad = bucket(N, cfg.knot_bucket)
+    m_pad = bucket(len(graph.ii), cfg.obs_bucket, cfg.obs_bucket)
+    st0, prob = _pad_problem(
+        states, gaps, cum_rot, gt.landmarks_xyz, graph.uv, graph.conf,
+        graph.ii, n_pad, m_pad, cfg.dtype,
+    )
+
+    # full batch uses schedule index i - init_iters (BA(i-10, ...),
+    # od_pipe.py:377): run init_iters vision-only at sched -10..-1, then the
+    # remaining iterations at sched 0..; reuse solve_window twice.
+    lam = cfg.lambda_init
+    states_j = st0
+    for i in range(num_iters):
+        step = ba.ba_iteration(
+            jnp.asarray(i - init_iters), states_j, prob, lam,
+            params=solver, initialize=(i < init_iters),
+        )
+        states_j, lam = step.states, step.lamda_init
+    out = np.asarray(states_j)[:N]
+    return out, graph.time_idx, gt.states
