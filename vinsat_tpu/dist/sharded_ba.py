@@ -1,0 +1,253 @@
+"""Multi-chip BA: one LM iteration sharded over an ("orbit", "arc") mesh.
+
+Data layout (the TPU-native problem format for scale-out):
+  * a batch of B independent windows/orbits is split over the "orbit" axis
+    (pure data parallelism — the collective-free analog of the reference's
+    process_map fan-out);
+  * within each window, the N knots are split contiguously over the "arc"
+    axis (sequence parallelism for long arcs, BASELINE.json config 5);
+  * observations use a fixed per-knot budget (B, N, D, ...) so they shard
+    exactly with their knot and normal-equation assembly needs NO scatter —
+    a per-knot reduction over D replaces the reference's torch_scatter
+    (BA_utils.py:1376-1382).
+
+Communication per iteration (all on ICI):
+  * one ppermute halo: each shard sends its first knot state left so the
+    neighbor can form its boundary dynamics pair;
+  * one reverse ppermute: the boundary pair's (B^T W B, B^T W r)
+    contribution travels right to the knot that owns it;
+  * psum for the robust scale (mean |r|) and residual-mean acceptance test;
+  * the SPIKE reduced-system all_gather (dist/tridiag.py).
+
+Deviation from the single-chip path (documented): the robust scale c_obs is
+the global MEAN of |r_obs| instead of the median (a median would need a
+distributed selection; the Barron weight only needs a scale estimate).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from vinsat_tpu.core import quat
+from vinsat_tpu.dist.tridiag import _shard_body
+from vinsat_tpu.estimation import factors
+from vinsat_tpu.estimation.ba import SolverParams
+
+
+class ShardedProblem(NamedTuple):
+    """Per-knot-budget problem arrays, batch-major.
+
+    states   (B, N, 10)
+    gaps     (B, N)
+    cum_rot  (B, N, 4)
+    lm_xyz   (B, N, D, 3)   landmark ECI positions per knot observation slot
+    uv       (B, N, D, 2)
+    conf     (B, N, D)
+    obs_valid(B, N, D)
+    pair_valid(B, N)        1 if the dynamics pair (t, t+1) is active
+    intrinsics (4,)
+    """
+
+    states: jnp.ndarray
+    gaps: jnp.ndarray
+    cum_rot: jnp.ndarray
+    lm_xyz: jnp.ndarray
+    uv: jnp.ndarray
+    conf: jnp.ndarray
+    obs_valid: jnp.ndarray
+    pair_valid: jnp.ndarray
+    intrinsics: jnp.ndarray
+
+
+def _halo_from_right(x, axis, nshards):
+    """Each shard receives its RIGHT neighbor's leading slice (zeros at the
+    last shard)."""
+    perm = [(i + 1, i) for i in range(nshards - 1)]
+    return jax.lax.ppermute(x, axis, perm)
+
+
+def _push_right(x, axis, nshards):
+    """Send a per-shard contribution to the RIGHT neighbor (zeros arrive at
+    shard 0)."""
+    perm = [(i, i + 1) for i in range(nshards - 1)]
+    return jax.lax.ppermute(x, axis, perm)
+
+
+def _one_orbit_iteration(sched_iter, lamda, states_l, gaps_l, cum_l, lm_l,
+                         uv_l, conf_l, ov_l, pv_l, intr, params: SolverParams,
+                         axis: str, nshards: int):
+    """One LM iteration for ONE orbit whose knots are sharded over `axis`.
+
+    All *_l arrays are the local knot chunk (Nl, ...).  Runs inside
+    shard_map; vmapped over the local orbit batch by the caller.
+    """
+    dtype = states_l.dtype
+    Nl = states_l.shape[0]
+    D = uv_l.shape[1]
+    qc, vc = params.quat_coeff, params.vel_coeff
+
+    def reproj_terms(states_loc):
+        """Per-knot-budget reprojection: flatten (Nl, D) obs."""
+        ii = jnp.repeat(jnp.arange(Nl), D)
+        rp = factors.reprojection_factor(
+            states_loc, lm_l.reshape(Nl * D, 3), ii, intr
+        )
+        uv_est = rp.uv.reshape(Nl, D, 2)
+        J = rp.J.reshape(Nl, D, 2, 9)
+        r = (uv_l - uv_est) * ov_l[..., None]
+        return r, J
+
+    r_obs, Jg = reproj_terms(states_l)
+
+    # robust scale: global mean |r| over valid obs (see module docstring)
+    s_abs = jax.lax.psum(jnp.sum(jnp.abs(r_obs) * ov_l[..., None]), axis)
+    s_cnt = jax.lax.psum(jnp.sum(2.0 * ov_l), axis)
+    c = jnp.maximum(s_abs / jnp.maximum(s_cnt, 1.0), 1e-12)
+    it = jnp.asarray(sched_iter, dtype)
+    alpha = jnp.clip(1.0 - (2.0 * (it / 5.0) - 1.0), 1.0, 2.0)
+    denom = jnp.maximum(jnp.abs(alpha - 2.0), 1e-12)
+    x2 = (r_obs / c) ** 2
+    w_el = ((x2 / denom + 1.0) ** (alpha / 2.0 - 1.0)) / (c * c)
+    w_el = jnp.where(alpha >= 2.0 - 1e-9, jnp.ones_like(w_el) / (c * c), w_el)
+    w = w_el.mean(-1) * ov_l
+    wmax = jax.lax.pmax(jnp.max(w), axis)
+    w = w / jnp.maximum(wmax, 1e-30) * conf_l * ov_l  # (Nl, D)
+
+    sigma = jnp.minimum(params.sigma_scale * (it + 1.0) ** 2, params.sigma_max)
+
+    # --- dynamics factor with halo knot --------------------------------
+    halo_state = _halo_from_right(states_l[0], axis, nshards)  # (10,)
+    states_ext = jnp.concatenate([states_l, halo_state[None]], axis=0)
+    cum_ext = jnp.concatenate([cum_l, cum_l[-1:]], axis=0)
+    pv_ext = pv_l  # (Nl,) pair t -> t+1 activity, incl. boundary pair
+    dyn = factors.dynamics_factor(
+        states_ext, jnp.concatenate([gaps_l, jnp.zeros(1, dtype)]),
+        cum_ext, qc, vc, valid_pair=pv_ext,
+        num_hops=params.num_hops, max_substep=params.max_substep,
+    )
+    # dyn.* index t in [0, Nl): pair (local t, local t+1 or halo)
+    A, B = dyn.A, dyn.B
+    res_pv, res_q = dyn.res_pv, dyn.res_q
+
+    # --- normal equation blocks ----------------------------------------
+    JgW = Jg * w[..., None, None]
+    D_blk = jnp.einsum("ndki,ndkj->nij", JgW, Jg)  # (Nl, 9, 9)
+    D_blk = D_blk + sigma * jnp.einsum("tki,tkj->tij", A, A)
+    D_blk = D_blk + sigma * dyn.Hq_diag[:-1]
+    # B^T B contribution belongs to knot t+1: local for t<Nl-1, remote for
+    # the boundary pair
+    BtB = sigma * jnp.einsum("tki,tkj->tij", B, B)
+    D_blk = D_blk.at[1:].add(BtB[:-1])
+    D_blk = D_blk.at[0].add(_push_right(BtB[-1], axis, nshards))
+    # halo-knot Hq_diag contribution (from the boundary quat residual)
+    D_blk = D_blk.at[0].add(
+        _push_right(sigma * dyn.Hq_diag[-1], axis, nshards)
+    )
+    U_blk = sigma * (jnp.einsum("tki,tkj->tij", A, B) + dyn.Hq_off)  # (Nl,9,9)
+
+    # --- gradient -------------------------------------------------------
+    JgT_r = jnp.einsum("ndki,ndk->ni", JgW, r_obs)
+    JfT_r = jnp.einsum("tki,tk->ti", A, res_pv)
+    BtR = jnp.einsum("tki,tk->ti", B, res_pv)
+    JfT_r = JfT_r.at[1:].add(BtR[:-1])
+    JfT_r = JfT_r.at[0].add(_push_right(BtR[-1], axis, nshards))
+    qgrad = dyn.qgrad[:-1]
+    qgrad = qgrad.at[0].add(_push_right(dyn.qgrad[-1], axis, nshards))
+    JTr = JgT_r - sigma * JfT_r - sigma * qgrad  # (Nl, 9)
+
+    # --- residual means (global) ---------------------------------------
+    def global_mean_res(r_o, r_p):
+        so = jax.lax.psum(jnp.sum(jnp.abs(r_o) * ov_l[..., None]), axis)
+        no = jax.lax.psum(jnp.sum(2.0 * ov_l), axis)
+        sp = jax.lax.psum(jnp.sum(jnp.abs(r_p) * jnp.sqrt(sigma)), axis)
+        np_ = jax.lax.psum(7.0 * jnp.sum(pv_l), axis)
+        return (so + sp) / jnp.maximum(no + np_, 1.0)
+
+    r_pred_full = jnp.concatenate([res_pv, res_q[:, None]], axis=-1)
+    init_residual = global_mean_res(r_obs, r_pred_full)
+
+    eye = jnp.eye(9, dtype=dtype)
+
+    def retract(dpose):
+        position = states_l[:, :3] + dpose[:, 0:3]
+        rotation = quat.box_plus(states_l[:, 3:7], dpose[:, 3:6])
+        vels = states_l[:, 7:10] + dpose[:, 6:9]
+        return jnp.concatenate([position, rotation, vels], axis=-1)
+
+    def trial_residual(states_new_l):
+        r_o, _ = reproj_terms(states_new_l)
+        halo = _halo_from_right(states_new_l[0], axis, nshards)
+        st_ext = jnp.concatenate([states_new_l, halo[None]], axis=0)
+        d1 = factors.dynamics_factor(
+            st_ext, jnp.concatenate([gaps_l, jnp.zeros(1, dtype)]), cum_ext,
+            qc, vc, valid_pair=pv_ext, num_hops=params.num_hops,
+            max_substep=params.max_substep, with_jacobian=False,
+        )
+        r_p = jnp.concatenate([d1.res_pv, d1.res_q[:, None]], axis=-1)
+        return global_mean_res(r_o * w[..., None], r_p)
+
+    def solve_with(lamda):
+        Dl = D_blk + lamda * eye[None]
+        x = _shard_body(nshards, axis, Dl, U_blk, JTr)
+        return retract(x)
+
+    def cond(carry):
+        lam, done, _, _ = carry
+        return jnp.logical_and(jnp.logical_not(done),
+                               lam <= params.lambda_max)
+
+    def body(carry):
+        lam, _, _, _ = carry
+        st_new = solve_with(lam)
+        trial = trial_residual(st_new)
+        return (lam * params.lambda_growth, trial < init_residual, st_new, lam)
+
+    first = body((jnp.asarray(lamda, dtype), jnp.asarray(False), states_l,
+                  jnp.asarray(lamda, dtype)))
+    lam_f, _, states_new, _ = jax.lax.while_loop(cond, body, first)
+    lam_next = jnp.maximum(jnp.minimum(1e-1, lam_f * 0.01), 1e-4)
+    return states_new, lam_next
+
+
+def make_sharded_ba_step(mesh: Mesh, params: SolverParams = SolverParams()):
+    """Build the jitted multi-chip BA training step.
+
+    Returns step(sched_iter, lamda (B,), prob: ShardedProblem) ->
+    (new_states (B, N, 10), new_lamda (B,)).  B must divide the orbit axis,
+    N the arc axis.
+    """
+    nshards = mesh.shape["arc"]
+    axis = "arc"
+
+    def body(sched_iter, lamda_b, states, gaps, cum, lm, uv, conf, ov, pv,
+             intr):
+        def per_orbit(lam, st, g, cr, l, u, cf, o, p):
+            return _one_orbit_iteration(
+                sched_iter, lam, st, g, cr, l, u, cf, o, p, intr, params,
+                axis, nshards,
+            )
+
+        return jax.vmap(per_orbit)(lamda_b, states, gaps, cum, lm, uv, conf,
+                                   ov, pv)
+
+    ospec = P("orbit")
+    bspec = P("orbit", "arc")
+    fn = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), ospec, bspec, bspec, bspec, bspec, bspec, bspec,
+                  bspec, bspec, P()),
+        out_specs=(bspec, ospec),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def step(sched_iter, lamda_b, prob: ShardedProblem):
+        return fn(sched_iter, lamda_b, prob.states, prob.gaps, prob.cum_rot,
+                  prob.lm_xyz, prob.uv, prob.conf, prob.obs_valid,
+                  prob.pair_valid, prob.intrinsics)
+
+    return step

@@ -121,7 +121,9 @@ def block_tridiag_solve(D, U, b):
         d_t = jnp.linalg.solve(denom, bt - Utm1.T @ d_prev)
         return (C_t, d_t), (C_t, d_t)
 
-    init = (jnp.zeros((k, k), D.dtype), jnp.zeros((k,), D.dtype))
+    # carries built with zeros_like so they inherit the inputs' manual-axis
+    # varying-ness (required when this runs inside shard_map)
+    init = (jnp.zeros_like(D[0]), jnp.zeros_like(b[0]))
     _, (Cs, ds) = jax.lax.scan(fwd2, init, (D, U_prev, U_pad, b))
 
     def bwd(x_next, inp):
@@ -129,7 +131,7 @@ def block_tridiag_solve(D, U, b):
         x_t = d_t - C_t @ x_next
         return x_t, x_t
 
-    _, xs_rev = jax.lax.scan(bwd, jnp.zeros((k,), D.dtype), (Cs, ds),
+    _, xs_rev = jax.lax.scan(bwd, jnp.zeros_like(b[0]), (Cs, ds),
                              reverse=True)
     return xs_rev
 

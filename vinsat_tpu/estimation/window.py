@@ -31,7 +31,7 @@ def bucket(n: int, step: int = 16, minimum: int = 16) -> int:
     return max(minimum, ((n + step - 1) // step) * step)
 
 
-@functools.partial(jax.jit, static_argnames=("num_iters",))
+@functools.partial(jax.jit, static_argnames=("num_iters", "params"))
 def solve_window(states0, prob: ba.BAProblem, lamda_init, init_iters,
                  num_iters: int, params: ba.SolverParams = ba.SolverParams()):
     """num_iters LM iterations over one (padded) window.

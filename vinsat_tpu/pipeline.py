@@ -26,6 +26,35 @@ from vinsat_tpu.sim import landmarks as lm_mod
 from vinsat_tpu.sim import orbits
 
 
+def track_landmark_db(traj: orbits.Trajectory, key, every_s: int = 60,
+                      per_point: int = 4, spread_deg: float = 0.5
+                      ) -> lm_mod.LandmarkDB:
+    """Synthesize a landmark DB scattered along the trajectory's ground
+    track (guaranteed detection yield for benchmarks/tests, independent of
+    whether the random orbit crosses the 16 detector-active regions)."""
+    from vinsat_tpu.core import frames as fr
+    from vinsat_tpu.sim import mgrs
+
+    pos_ecef = np.asarray(traj.pos_ecef)
+    idx = np.arange(0, pos_ecef.shape[0], every_s)
+    lat, lon, _ = fr.ecef_to_geodetic(jnp.asarray(pos_ecef[idx]))
+    lat, lon = np.asarray(lat), np.asarray(lon)
+    rng = np.random.default_rng(int(jax.random.randint(key, (), 0, 2**31 - 1)))
+    lons = (lon[:, None] + rng.normal(size=(len(idx), per_point)) * spread_deg).ravel()
+    lats = (lat[:, None] + rng.normal(size=(len(idx), per_point)) * spread_deg).ravel()
+    lats = np.clip(lats, -79.0, 79.0)
+    n = len(lons)
+    reg = np.asarray(mgrs.zone_of(jnp.asarray(lons), jnp.asarray(lats)))
+    reg = np.where(reg < 0, 0, reg).astype(np.int32)
+    half = 0.01
+    bbox = np.stack([lons - half, lats - half, lons + half, lats + half], axis=1)
+    return lm_mod.LandmarkDB(
+        lon=jnp.asarray(lons), lat=jnp.asarray(lats), bbox=jnp.asarray(bbox),
+        region=jnp.asarray(reg), cls=jnp.arange(n, dtype=jnp.int32),
+        best=jnp.ones(n, bool), saliency=jnp.ones(n),
+    )
+
+
 class SimulatedSequence(NamedTuple):
     det_rows: np.ndarray  # (M, 6) [frame, lon, lat, xc, yc, conf]
     orbit_pos_eci_km: np.ndarray  # (T, 3)
@@ -36,18 +65,31 @@ class SimulatedSequence(NamedTuple):
 def simulate_sequence(seed: int, duration_s: int = 10800,
                       db: Optional[lm_mod.LandmarkDB] = None,
                       noise_px: float = 4.0, frame_stride: int = 1,
-                      max_dets: int = 8) -> SimulatedSequence:
+                      max_dets: int = 8,
+                      along_track: bool = False) -> SimulatedSequence:
     """Generate one detection sequence over a random LEO orbit
-    (run_sim, sim/nadir_sim.py:138-265, geometry-only detector stage)."""
+    (run_sim, sim/nadir_sim.py:138-265, geometry-only detector stage).
+
+    along_track=True synthesizes landmarks under the actual ground track
+    (and treats all regions as detector-active), guaranteeing detection
+    yield for any seed — used by benchmarks and e2e tests.
+    """
     key = jax.random.PRNGKey(seed)
     k_traj, k_db, k_det = jax.random.split(key, 3)
     traj = orbits.generate_trajectory(k_traj, duration_s=duration_s)
+    region_mask = None
     if db is None:
-        db = lm_mod.synthesize(k_db)
+        if along_track:
+            db = track_landmark_db(traj, k_db)
+            from vinsat_tpu.sim import mgrs
+
+            region_mask = jnp.ones(len(mgrs.ZONE_LABELS), bool)
+        else:
+            db = lm_mod.synthesize(k_db)
     dets = det_mod.generate_detections(
         k_det, traj, db, noise_px=noise_px, max_dets=max_dets,
         conf_low=0.82,  # post-gate confidences (OD gate keeps conf>0.8)
-        frame_stride=frame_stride,
+        frame_stride=frame_stride, region_mask=region_mask,
     )
     rows = det_mod.to_rows(dets, db, frame_stride)
     return SimulatedSequence(rows, np.asarray(traj.pos_eci), traj, db)

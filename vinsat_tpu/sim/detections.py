@@ -70,16 +70,19 @@ def generate_detections(key, traj: Trajectory, db: lm_mod.LandmarkDB,
                         conf_low: float = 0.5, conf_high: float = 1.0,
                         min_visible: int = 3, max_dets: int = 8,
                         frame_stride: int = 1,
-                        detector_fn: Optional[Callable] = None
-                        ) -> FrameDetections:
+                        detector_fn: Optional[Callable] = None,
+                        region_mask=None) -> FrameDetections:
     """Simulate the detection stream for a trajectory.
 
     detector_fn, if given, maps (uv_true, key) -> (uv_noisy, conf) and
     replaces the default Gaussian-pixel-noise + uniform-confidence model.
+    region_mask overrides the default 16-active-region gate; pass
+    jnp.ones(len(mgrs.ZONE_LABELS), bool) to treat every region as having a
+    trained detector.
     """
     if cam is None:
         cam = cam_mod.CameraModel.from_hfov()
-    active = mgrs.active_region_mask()
+    active = mgrs.active_region_mask() if region_mask is None else region_mask
     pos_ecef_m = traj.pos_ecef * 1000.0
     T = pos_ecef_m.shape[0]
     frames_idx = jnp.arange(0, T, frame_stride)
