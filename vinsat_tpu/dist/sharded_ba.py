@@ -191,9 +191,18 @@ def _one_orbit_iteration(sched_iter, lamda, states_l, gaps_l, cum_l, lm_l,
         return global_mean_res(r_o * w[..., None], r_p)
 
     def solve_with(lamda):
+        # symmetric Jacobi scaling for f32 conditioning (see
+        # ba.jacobi_scaled_tridiag_solve); boundary U needs the right
+        # neighbor's first scale vector via one more halo exchange
         Dl = D_blk + lamda * eye[None]
-        x = _shard_body(nshards, axis, Dl, U_blk, JTr)
-        return retract(x)
+        diag = jnp.diagonal(Dl, axis1=-2, axis2=-1)
+        s = 1.0 / jnp.sqrt(jnp.maximum(diag, 1e-30))
+        s_halo = _halo_from_right(s[0], axis, nshards)
+        s_next = jnp.concatenate([s[1:], s_halo[None]], axis=0)
+        Ds = Dl * s[:, :, None] * s[:, None, :]
+        Us = U_blk * s[:, :, None] * s_next[:, None, :]
+        x = _shard_body(nshards, axis, Ds, Us, JTr * s)
+        return retract(x * s)
 
     def cond(carry):
         lam, done, _, _ = carry

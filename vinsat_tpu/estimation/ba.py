@@ -136,6 +136,23 @@ def block_tridiag_solve(D, U, b):
     return xs_rev
 
 
+def jacobi_scaled_tridiag_solve(D, U, b):
+    """block_tridiag_solve with symmetric Jacobi (diagonal) preconditioning.
+
+    The normal-equation blocks span ~1e12 in magnitude (pixel-scale
+    JgᵀWJg vs Σ·AᵀA with 1000-s transition sensitivities), which is fatal in
+    f32 — the TPU production dtype.  Scaling by s = diag(H)^{-1/2} brings
+    the system to O(1) condition per block: solve (SHS)(S⁻¹x) = Sb.
+    """
+    diag = jnp.diagonal(D, axis1=-2, axis2=-1)  # (N, k)
+    s = 1.0 / jnp.sqrt(jnp.maximum(diag, 1e-30))
+    Ds = D * s[:, :, None] * s[:, None, :]
+    Us = U * s[:-1, :, None] * s[1:, None, :]
+    bs = b * s
+    xs = block_tridiag_solve(Ds, Us, bs)
+    return xs * s
+
+
 def block_tridiag_solve_multi(D, U, B):
     """block_tridiag_solve with a matrix RHS: B (N, k, r) -> X (N, k, r)."""
     return jax.vmap(block_tridiag_solve, in_axes=(None, None, 2),
@@ -274,7 +291,7 @@ def ba_iteration(sched_iter, states, prob: BAProblem, lamda_init,
 
     def solve_with(lamda):
         Dl = D + lamda * eye[None]
-        dpose = block_tridiag_solve(Dl, U, JTr)
+        dpose = jacobi_scaled_tridiag_solve(Dl, U, JTr)
         return retract(dpose)
 
     def cond(carry):
@@ -296,6 +313,206 @@ def ba_iteration(sched_iter, states, prob: BAProblem, lamda_init,
         cond, body, first
     )
 
+    lamda_init_new = jnp.maximum(jnp.minimum(1e-1, lamda_f * 0.01), 1e-4)
+    last_hessian = D[-1] + lamda_used * eye
+    mean_res = trial_residual(states_new)
+    return BAStep(states_new, lamda_init_new, last_hessian, mean_res)
+
+
+class PriorState(NamedTuple):
+    """Propagated window-marginal prior (the streaming handoff state)."""
+
+    prop_states: jnp.ndarray  # (N, 10)
+    H_state: jnp.ndarray  # (N, 6, 6) pos/vel information
+    H_rot: jnp.ndarray  # (N, 3, 3) rotation information
+    valid: jnp.ndarray  # (N,) 0/1: which knots carry a prior
+
+
+def propagate_prior(end_state, last_hessian, gaps_to_knots, cum_rots,
+                    num_hops: int = 16, max_substep: float = 100.0
+                    ) -> PriorState:
+    """Propagate the previous window's terminal state + marginal covariance
+    to each new knot (propagate_dynamics_cov_init, BA_utils.py:227-248).
+
+    end_state (10,); last_hessian (9, 9) in [pos, phi, vel] tangent order;
+    gaps_to_knots (N,) seconds from the window end to each new knot;
+    cum_rots (N, 4) IMU rotation products over those spans.
+    """
+    from vinsat_tpu.core import dynamics, quat
+
+    dtype = end_state.dtype
+    N = gaps_to_knots.shape[0]
+    # marginal covariances from the information matrix (BA_utils.py:230-235)
+    Hs = jnp.concatenate(
+        [jnp.concatenate([last_hessian[0:3, 0:3], last_hessian[0:3, 6:9]], 1),
+         jnp.concatenate([last_hessian[6:9, 0:3], last_hessian[6:9, 6:9]], 1)],
+        0,
+    )
+    cov_state = jnp.linalg.inv(Hs)
+    cov_rot = jnp.linalg.inv(last_hessian[3:6, 3:6])
+
+    pos = jnp.broadcast_to(end_state[:3], (N, 3))
+    vel = jnp.broadcast_to(end_state[7:10], (N, 3))
+    p, v, J = dynamics.propagate_gaps_with_jacobian(
+        pos, vel, gaps_to_knots, num_hops=num_hops, max_substep=max_substep
+    )
+    cov_s = jnp.einsum("nij,jk,nlk->nil", J, cov_state, J)
+    q = quat.normalize(quat.multiply(
+        jnp.broadcast_to(end_state[3:7], (N, 4)), cum_rots
+    ))
+    Rc = jnp.swapaxes(quat.to_matrix(cum_rots), -1, -2)
+    cov_r = jnp.einsum("nij,jk,nlk->nil", Rc, cov_rot, Rc)
+
+    prop_states = jnp.concatenate([p, q, v], axis=-1)
+    return PriorState(
+        prop_states=prop_states,
+        H_state=jnp.linalg.inv(cov_s),
+        H_rot=jnp.linalg.inv(cov_r),
+        valid=jnp.ones(N, dtype=dtype),
+    )
+
+
+def ba_reg_iteration(sched_iter, states, prob: BAProblem, prior, lamda_init,
+                     params: SolverParams = SolverParams(),
+                     quat_coeff_prior: float = 1.0,
+                     vel_coeff_prior: float = 1.0,
+                     initialize=False) -> BAStep:
+    """One regularized LM iteration with the window-marginal prior factor
+    (BA_reg, BA_filtering.py:100-210): ba_iteration + JpᵀJp (block-diagonal)
+    and the prior rotation Newton terms.
+
+    prior: PriorState covering all N knots (pad H with zeros for knots
+    without a prior).
+    """
+    dtype = states.dtype
+    N = states.shape[0]
+    sched_iter = jnp.asarray(sched_iter)
+    init_f = jnp.asarray(initialize, dtype=dtype)
+    dyn_on = 1.0 - init_f
+
+    reproj = factors.reprojection_factor(
+        states, prob.landmarks_xyz, prob.ii, prob.intrinsics
+    )
+    dyn = factors.dynamics_factor(
+        states, prob.gaps, prob.cum_rot, params.quat_coeff, params.vel_coeff,
+        valid_pair=prob.pair_valid, num_hops=params.num_hops,
+        max_substep=params.max_substep, with_jacobian=True,
+    )
+    pf = factors.prior_factor(
+        states, prior.prop_states, prior.H_state, prior.H_rot,
+        vel_coeff_prior, quat_coeff_prior,
+        valid=prior.valid * prob.knot_valid,
+    )
+
+    r_obs = (prob.landmarks_uv - reproj.uv) * prob.obs_valid[:, None]
+    w = robust_weights(r_obs, prob.conf, prob.obs_valid, sched_iter)
+    sigma = jnp.minimum(
+        params.sigma_scale * (sched_iter.astype(dtype) + 1.0) ** 2,
+        params.sigma_max,
+    )
+
+    res_pv = dyn.res_pv * dyn_on
+    res_q = dyn.res_q * dyn_on
+    A = dyn.A * dyn_on
+    B = dyn.B * dyn_on
+    qgrad = dyn.qgrad * dyn_on
+    Hq_diag = dyn.Hq_diag * dyn_on
+    Hq_off = dyn.Hq_off * dyn_on
+
+    Jg = reproj.J
+    JgW = Jg * w[:, None, None]
+    G_obs = jnp.einsum("mki,mkj->mij", JgW, Jg)
+    JgTwJg = jax.ops.segment_sum(G_obs, prob.ii, num_segments=N)
+
+    D = JgTwJg + sigma * Hq_diag
+    D = D.at[:-1].add(sigma * jnp.einsum("tki,tkj->tij", A, A))
+    D = D.at[1:].add(sigma * jnp.einsum("tki,tkj->tij", B, B))
+    # prior terms: JpᵀJp block-diagonal + Hqp (BA_filtering.py:145,163)
+    D = D + jnp.einsum("nki,nkj->nij", pf.Jp, pf.Jp) + pf.Hq_diag
+    U = sigma * (jnp.einsum("tki,tkj->tij", A, B) + Hq_off)
+
+    JgT_robs = jax.ops.segment_sum(
+        jnp.einsum("mki,mk->mi", JgW, r_obs), prob.ii, num_segments=N
+    )
+    JfT_r = jnp.zeros((N, 9), dtype)
+    JfT_r = JfT_r.at[:-1].add(jnp.einsum("tki,tk->ti", A, res_pv))
+    JfT_r = JfT_r.at[1:].add(jnp.einsum("tki,tk->ti", B, res_pv))
+    JpT_r = jnp.einsum("nki,nk->ni", pf.Jp, pf.res[:, :6])
+    JTr = (JgT_robs - sigma * JfT_r - JpT_r - sigma * qgrad - pf.qgrad)
+
+    pred_dim = jnp.where(init_f > 0, 6.0, 7.0)
+    r_pred_full = jnp.concatenate([res_pv, res_q[:, None]], axis=-1)
+    r_pred_for_mean = jnp.where(init_f > 0, jnp.zeros_like(r_pred_full),
+                                r_pred_full)
+
+    def mean_with_prior(r_obs_w, r_pred_flat, r_pri):
+        s_obs = (jnp.abs(r_obs_w) * prob.obs_valid[:, None]).sum()
+        n_obs = 2.0 * prob.obs_valid.sum()
+        s_pred = (jnp.abs(r_pred_flat) * jnp.sqrt(sigma)).sum()
+        n_pred = pred_dim * prob.pair_valid.sum()
+        s_pri = (jnp.abs(r_pri) * prob.knot_valid[:, None]).sum()
+        n_pri = 7.0 * prob.knot_valid.sum()
+        return (s_obs + s_pred + s_pri) / jnp.maximum(
+            n_obs + n_pred + n_pri, 1.0
+        )
+
+    init_residual = mean_with_prior(
+        r_obs, r_pred_for_mean * prob.pair_valid[:, None], pf.res
+    )
+
+    eye = jnp.eye(9, dtype=dtype)
+
+    def trial_residual(states_new):
+        uv_new = factors.project_landmarks(
+            states_new, prob.landmarks_xyz, prob.ii, prob.intrinsics
+        )
+        r_obs1 = (prob.landmarks_uv - uv_new) * prob.obs_valid[:, None]
+        r_obs1 = r_obs1 * w[:, None]
+        dyn1 = factors.dynamics_factor(
+            states_new, prob.gaps, prob.cum_rot, params.quat_coeff,
+            params.vel_coeff, valid_pair=prob.pair_valid,
+            num_hops=params.num_hops, max_substep=params.max_substep,
+            with_jacobian=False,
+        )
+        r_pred1 = jnp.concatenate(
+            [dyn1.res_pv, dyn1.res_q[:, None]], axis=-1
+        ) * dyn_on * prob.pair_valid[:, None]
+        r_pred1 = jnp.where(init_f > 0, jnp.zeros_like(r_pred1), r_pred1)
+        pf1 = factors.prior_factor(
+            states_new, prior.prop_states, prior.H_state, prior.H_rot,
+            vel_coeff_prior, quat_coeff_prior,
+            valid=prior.valid * prob.knot_valid,
+        )
+        return mean_with_prior(r_obs1, r_pred1, pf1.res)
+
+    def retract(dpose):
+        position = states[:, :3] + dpose[:, 0:3]
+        rotation = quat.box_plus(states[:, 3:7], dpose[:, 3:6])
+        vels = states[:, 7:10] + dpose[:, 6:9]
+        return jnp.concatenate([position, rotation, vels], axis=-1)
+
+    def solve_with(lamda):
+        Dl = D + lamda * eye[None]
+        dpose = jacobi_scaled_tridiag_solve(Dl, U, JTr)
+        return retract(dpose)
+
+    def cond(carry):
+        lamda, done, _, _ = carry
+        return jnp.logical_and(jnp.logical_not(done),
+                               lamda <= params.lambda_max)
+
+    def body(carry):
+        lamda, _, _, _ = carry
+        states_new = solve_with(lamda)
+        trial = trial_residual(states_new)
+        return (lamda * params.lambda_growth, trial < init_residual,
+                states_new, lamda)
+
+    lamda0 = jnp.asarray(lamda_init, dtype=dtype)
+    first = body((lamda0, jnp.asarray(False), states, lamda0))
+    lamda_f, done, states_new, lamda_used = jax.lax.while_loop(
+        cond, body, first
+    )
     lamda_init_new = jnp.maximum(jnp.minimum(1e-1, lamda_f * 0.01), 1e-4)
     last_hessian = D[-1] + lamda_used * eye
     mean_res = trial_residual(states_new)

@@ -307,6 +307,18 @@ def cumulative_rotations(omega_seq, dt, knot_times):
     return quat.normalize(c)
 
 
+def span_rotations(omega_seq, dt, start, ends):
+    """IMU rotation products over [start, e) for each e in `ends`:
+    c_e = prod_{k=start}^{e-1} exp(dt w_k), via the same prefix trick."""
+    rots = quat.exp(dt * omega_seq)
+    ident = jnp.zeros_like(rots[:1]).at[0, 3].set(1.0)
+    prefix = jax.lax.associative_scan(quat.multiply, jnp.concatenate(
+        [ident, rots], axis=0))
+    Ra = prefix[start]
+    Rb = prefix[ends]
+    return quat.normalize(quat.multiply(quat.conjugate(Ra)[None], Rb))
+
+
 # ---------------------------------------------------------------------------
 # Prior factor (window handoff; prior_gpu BA_utils.py:604-676)
 # ---------------------------------------------------------------------------

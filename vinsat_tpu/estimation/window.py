@@ -33,19 +33,21 @@ def bucket(n: int, step: int = 16, minimum: int = 16) -> int:
 
 @functools.partial(jax.jit, static_argnames=("num_iters", "params"))
 def solve_window(states0, prob: ba.BAProblem, lamda_init, init_iters,
-                 num_iters: int, params: ba.SolverParams = ba.SolverParams()):
+                 num_iters: int, params: ba.SolverParams = ba.SolverParams(),
+                 sched_offset=0):
     """num_iters LM iterations over one (padded) window.
 
     init_iters: number of leading vision-only iterations (od_pipe.py:1038
     uses 10 for the first window, 0 afterwards).  The schedule index passed
-    to α/Σ is the plain iteration number, matching the streaming path
-    (BA(iter, ...), od_pipe.py:1038).
+    to α/Σ is iteration + sched_offset: 0-based for streaming (BA(iter,...),
+    od_pipe.py:1038), -init_iters for the full-batch path (BA(i-10, ...),
+    od_pipe.py:377).
     """
 
     def body(i, carry):
         states, lam, last_h = carry
         step = ba.ba_iteration(
-            i, states, prob, lam, params=params,
+            i + sched_offset, states, prob, lam, params=params,
             initialize=(i < init_iters),
         )
         return (step.states, step.lamda_init, step.last_hessian)
@@ -54,6 +56,26 @@ def solve_window(states0, prob: ba.BAProblem, lamda_init, init_iters,
             jnp.zeros((9, 9), states0.dtype))
     states, lam, last_h = jax.lax.fori_loop(0, num_iters, body, init)
     return states, lam, last_h
+
+
+@functools.partial(jax.jit, static_argnames=("num_iters", "params"))
+def solve_window_reg(states0, prob: ba.BAProblem, prior: ba.PriorState,
+                     lamda_init, num_iters: int,
+                     params: ba.SolverParams = ba.SolverParams()):
+    """num_iters regularized LM iterations (BA_reg path: the streaming
+    variant with a propagated window-marginal prior,
+    od_pipe.py:893/BA_filtering.py:100-210)."""
+
+    def body(i, carry):
+        states, lam, last_h = carry
+        step = ba.ba_reg_iteration(
+            i, states, prob, prior, lam, params=params, initialize=False,
+        )
+        return (step.states, step.lamda_init, step.last_hessian)
+
+    init = (states0, jnp.asarray(lamda_init, states0.dtype),
+            jnp.zeros((9, 9), states0.dtype))
+    return jax.lax.fori_loop(0, num_iters, body, init)
 
 
 @functools.partial(jax.jit, static_argnames=("max_len",))
@@ -103,6 +125,10 @@ class StreamingConfig(NamedTuple):
     knot_bucket: int = 16
     obs_bucket: int = 64
     dtype: str = "float64"
+    # use the BA_reg path (window-marginal prior factor) for windows > 0
+    # instead of plain BA (reference main path uses BA, od_pipe.py:1040;
+    # BA_reg is its streaming_debugging variant, od_pipe.py:893)
+    use_prior: bool = False
 
 
 def _pad_problem(states, gaps, cum_rot, lm_xyz, lm_uv, conf, ii,
@@ -213,6 +239,8 @@ def stream_orbit(det_rows: np.ndarray, orbit_pos_eci_km: np.ndarray,
     first_detection = int(knot_t[windows[0][0] - 1])
     lamda = cfg.lambda_init
     cur_states: Optional[np.ndarray] = None  # optimized prefix (t_final_prev)
+    last_hessian: Optional[np.ndarray] = None
+    prior_full: Optional[ba.PriorState] = None
     t_prev = 0
     max_hops = int(np.ceil(gaps.max() / solver.max_substep)) + 1
     solver = solver._replace(num_hops=max(solver.num_hops, max_hops))
@@ -246,6 +274,27 @@ def stream_orbit(det_rows: np.ndarray, orbit_pos_eci_km: np.ndarray,
             errors.append(err_prop)
             times.append(knot_t[t_init:t_final][:-1])
 
+            if cfg.use_prior:
+                # window-marginal prior on the newly propagated knots
+                spans = (knot_t[t_init:t_final] - knot_t[t_init - 1]).astype(
+                    np.float64
+                )
+                cum_spans = factors.span_rotations(
+                    jnp.asarray(gt.omega_full), 1.0,
+                    jnp.asarray(int(knot_t[t_init - 1])),
+                    jnp.asarray(knot_t[t_init:t_final]),
+                )
+                hops = int(np.ceil(spans.max() / solver.max_substep)) + 1
+                pri_new = ba.propagate_prior(
+                    jnp.asarray(cur_states[-1], jnp.dtype(dtype)),
+                    jnp.asarray(last_hessian, jnp.dtype(dtype)),
+                    jnp.asarray(spans, jnp.dtype(dtype)), cum_spans,
+                    num_hops=hops, max_substep=solver.max_substep,
+                )
+                prior_full = (np.asarray(pri_new.prop_states),
+                              np.asarray(pri_new.H_state),
+                              np.asarray(pri_new.H_rot), t_init, t_final)
+
         n_pad = bucket(t_final, cfg.knot_bucket)
         m_pad = bucket(i_final, cfg.obs_bucket, cfg.obs_bucket)
         st0, prob = _pad_problem(
@@ -254,9 +303,31 @@ def stream_orbit(det_rows: np.ndarray, orbit_pos_eci_km: np.ndarray,
             graph.conf[:i_final], graph.ii[:i_final], n_pad, m_pad, dtype,
         )
         init_iters = cfg.init_iters if w == 0 else 0
-        out_states, lam_new, _ = solve_window(
-            st0, prob, lamda, jnp.asarray(init_iters), cfg.num_iters, solver
-        )
+        if cfg.use_prior and w > 0 and prior_full is not None:
+            ps, hs, hr, a, b = prior_full
+            jd = jnp.dtype(dtype)
+            prop_pad = np.zeros((n_pad, 10))
+            prop_pad[:, 6] = 1.0
+            Hs_pad = np.zeros((n_pad, 6, 6))
+            Hr_pad = np.zeros((n_pad, 3, 3))
+            val = np.zeros(n_pad)
+            prop_pad[a:b] = ps
+            Hs_pad[a:b] = hs
+            Hr_pad[a:b] = hr
+            val[a:b] = 1.0
+            prior = ba.PriorState(
+                jnp.asarray(prop_pad, jd), jnp.asarray(Hs_pad, jd),
+                jnp.asarray(Hr_pad, jd), jnp.asarray(val, jd),
+            )
+            out_states, lam_new, last_h = solve_window_reg(
+                st0, prob, prior, lamda, cfg.num_iters, solver
+            )
+        else:
+            out_states, lam_new, last_h = solve_window(
+                st0, prob, lamda, jnp.asarray(init_iters), cfg.num_iters,
+                solver
+            )
+        last_hessian = np.asarray(last_h)
         lamda = float(lam_new)
         cur_states = np.asarray(out_states)[:t_final]
         t_prev = t_final

@@ -37,8 +37,17 @@ def track_landmark_db(traj: orbits.Trajectory, key, every_s: int = 60,
 
     pos_ecef = np.asarray(traj.pos_ecef)
     idx = np.arange(0, pos_ecef.shape[0], every_s)
-    lat, lon, _ = fr.ecef_to_geodetic(jnp.asarray(pos_ecef[idx]))
-    lat, lon = np.asarray(lat), np.asarray(lon)
+    # host-side numpy geodetic inverse (avoid per-call device dispatch)
+    x, y, z = pos_ecef[idx, 0], pos_ecef[idx, 1], pos_ecef[idx, 2]
+    lon = np.rad2deg(np.arctan2(y, x))
+    p = np.sqrt(x**2 + y**2)
+    lat_r = np.arctan2(z, p * (1.0 - fr.WGS84_E2))
+    for _ in range(5):
+        sl = np.sin(lat_r)
+        N = fr.WGS84_A_KM / np.sqrt(1.0 - fr.WGS84_E2 * sl**2)
+        alt = p / np.cos(lat_r) - N
+        lat_r = np.arctan2(z, p * (1.0 - fr.WGS84_E2 * N / (N + alt)))
+    lat = np.rad2deg(lat_r)
     rng = np.random.default_rng(int(jax.random.randint(key, (), 0, 2**31 - 1)))
     lons = (lon[:, None] + rng.normal(size=(len(idx), per_point)) * spread_deg).ravel()
     lats = (lat[:, None] + rng.normal(size=(len(idx), per_point)) * spread_deg).ravel()
@@ -168,15 +177,10 @@ def run_full_batch(seq: SimulatedSequence, seed: int = 0,
     )
 
     # full batch uses schedule index i - init_iters (BA(i-10, ...),
-    # od_pipe.py:377): run init_iters vision-only at sched -10..-1, then the
-    # remaining iterations at sched 0..; reuse solve_window twice.
-    lam = cfg.lambda_init
-    states_j = st0
-    for i in range(num_iters):
-        step = ba.ba_iteration(
-            jnp.asarray(i - init_iters), states_j, prob, lam,
-            params=solver, initialize=(i < init_iters),
-        )
-        states_j, lam = step.states, step.lamda_init
+    # od_pipe.py:377): one jitted fori_loop with a -init_iters offset.
+    states_j, lam, _ = solve_window(
+        st0, prob, cfg.lambda_init, jnp.asarray(init_iters), num_iters,
+        solver, sched_offset=jnp.asarray(-init_iters),
+    )
     out = np.asarray(states_j)[:N]
     return out, graph.time_idx, gt.states

@@ -83,7 +83,24 @@ def generate_detections(key, traj: Trajectory, db: lm_mod.LandmarkDB,
     if cam is None:
         cam = cam_mod.CameraModel.from_hfov()
     active = mgrs.active_region_mask() if region_mask is None else region_mask
-    pos_ecef_m = traj.pos_ecef * 1000.0
+
+    if detector_fn is not None:
+        return _generate_detections_impl(
+            key, traj.pos_ecef, db, active, cam, noise_px, conf_low,
+            conf_high, min_visible, max_dets, frame_stride, detector_fn,
+        )
+    # default noise model: one fully-jitted call (remote-TPU friendly)
+    return _generate_detections_jit(
+        key, traj.pos_ecef, db, active, cam, noise_px, conf_low, conf_high,
+        min_visible, max_dets, frame_stride,
+    )
+
+
+def _generate_detections_impl(key, pos_ecef_km, db, active, cam, noise_px,
+                              conf_low, conf_high, min_visible: int,
+                              max_dets: int, frame_stride: int,
+                              detector_fn=None) -> FrameDetections:
+    pos_ecef_m = pos_ecef_km * 1000.0
     T = pos_ecef_m.shape[0]
     frames_idx = jnp.arange(0, T, frame_stride)
     pos_sel = pos_ecef_m[frames_idx]
@@ -119,6 +136,12 @@ def generate_detections(key, traj: Trajectory, db: lm_mod.LandmarkDB,
         conf=conf,
         frame_visible=gate,
     )
+
+
+_generate_detections_jit = jax.jit(
+    _generate_detections_impl,
+    static_argnames=("cam", "min_visible", "max_dets", "frame_stride"),
+)
 
 
 def to_rows(dets: FrameDetections, db: lm_mod.LandmarkDB,

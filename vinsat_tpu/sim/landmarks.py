@@ -52,33 +52,35 @@ def synthesize(key, regions: Optional[Sequence[str]] = None,
     `best_fraction` subset is marked detector-accepted, mirroring the
     best_classes downselect (eval/eval_landmarks.py:259-286, the reference's
     best_classes/*.npy are ~20%-ish of ~495 classes).
+
+    Host-side numpy on purpose: this is data preparation, not device compute
+    (remote-TPU dispatch latency makes per-region device RNG calls costly).
     """
     if regions is None:
         regions = mgrs.ACTIVE_REGIONS
+    seed = int(np.asarray(jax.random.key_data(key)).ravel()[-1]) & 0x7FFFFFFF
+    rng = np.random.default_rng(seed)
     lons, lats, regs, clss, bests, sals, bboxes = [], [], [], [], [], [], []
     for r in regions:
-        key, k1, k2, k3, k4 = jax.random.split(key, 5)
         b = np.asarray(mgrs.ZONE_BOUNDS[mgrs.ZONE_INDEX[r]])
-        lon = b[0] + (b[2] - b[0]) * jax.random.uniform(k1, (per_region,))
-        lat = b[1] + (b[3] - b[1]) * jax.random.uniform(k2, (per_region,))
-        sal = jax.random.uniform(k3, (per_region,))
+        lon = b[0] + (b[2] - b[0]) * rng.random(per_region)
+        lat = b[1] + (b[3] - b[1]) * rng.random(per_region)
+        sal = rng.random(per_region)
         nbest = max(1, int(per_region * best_fraction))
         best = np.zeros(per_region, dtype=bool)
-        best[np.asarray(jax.random.permutation(k4, per_region))[:nbest]] = True
+        best[rng.permutation(per_region)[:nbest]] = True
         # bbox half-sizes ~ 0.005-0.05 deg (hundreds of m to km scale objects)
-        key, k5 = jax.random.split(key)
-        half = 0.005 + 0.045 * jax.random.uniform(k5, (per_region, 2))
-        lon_np, lat_np, half_np = map(np.asarray, (lon, lat, half))
+        half = 0.005 + 0.045 * rng.random((per_region, 2))
         bbox = np.stack(
-            [lon_np - half_np[:, 0], lat_np - half_np[:, 1],
-             lon_np + half_np[:, 0], lat_np + half_np[:, 1]], axis=1
+            [lon - half[:, 0], lat - half[:, 1],
+             lon + half[:, 0], lat + half[:, 1]], axis=1
         )
-        lons.append(lon_np)
-        lats.append(lat_np)
+        lons.append(lon)
+        lats.append(lat)
         regs.append(np.full(per_region, mgrs.ZONE_INDEX[r], dtype=np.int32))
         clss.append(np.arange(per_region, dtype=np.int32))
         bests.append(best)
-        sals.append(np.asarray(sal))
+        sals.append(sal)
         bboxes.append(bbox)
     return LandmarkDB(
         lon=jnp.array(np.concatenate(lons)),

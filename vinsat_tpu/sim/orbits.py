@@ -172,18 +172,11 @@ class Trajectory(NamedTuple):
         return frames.eci_to_ecef(self.pos_eci, self.times)
 
 
-def generate_trajectory(key, oe: Optional[OrbitalElements] = None,
-                        duration_s: int = 10800, dt: float = 1.0,
-                        dtype=jnp.float64) -> Trajectory:
-    """Simulate a full position+attitude trajectory (generate_eci_traj
-    :208-243 + get_nadir_attitude :300).
+import functools
 
-    One lax.scan over the arc; vmap over `key` for a constellation batch.
-    """
-    if oe is None:
-        key, k_oe = jax.random.split(key)
-        oe = sample_random_oe(k_oe)
-    oe = jax.tree.map(lambda v: jnp.asarray(v, dtype=dtype), oe)
+
+@functools.partial(jax.jit, static_argnames=("duration_s", "dt", "dtype"))
+def _generate_trajectory_impl(key, oe, duration_s, dt, dtype):
     x0 = oe_to_eci(oe)
     num_steps = int(round(duration_s / dt))
     orbit_traj = dynamics.rollout_orbit(x0, num_steps, dt)
@@ -206,6 +199,25 @@ def generate_trajectory(key, oe: Optional[OrbitalElements] = None,
         omega_body=att_traj[:, 4:7],
         times=times,
     )
+
+
+def generate_trajectory(key, oe: Optional[OrbitalElements] = None,
+                        duration_s: int = 10800, dt: float = 1.0,
+                        dtype=jnp.float64) -> Trajectory:
+    """Simulate a full position+attitude trajectory (generate_eci_traj
+    :208-243 + get_nadir_attitude :300).
+
+    One jitted lax.scan over the arc; vmap over `key` for a constellation
+    batch.  dtype falls back to f32 automatically when x64 is disabled.
+    """
+    if oe is None:
+        key, k_oe = jax.random.split(key)
+        oe = sample_random_oe(k_oe)
+    dtype = jnp.dtype(dtype)
+    if dtype == jnp.float64 and not jax.config.jax_enable_x64:
+        dtype = jnp.dtype(jnp.float32)
+    oe = jax.tree.map(lambda v: jnp.asarray(v, dtype=dtype), oe)
+    return _generate_trajectory_impl(key, oe, duration_s, dt, dtype)
 
 
 def generate_constellation(key, num_orbits: int, duration_s: int = 10800,
