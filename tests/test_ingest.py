@@ -19,7 +19,7 @@ def test_build_graph_filler_knots():
     """Knots at detection times + fillers every 1000 s + tail fillers
     (read_detections, od_pipe.py:214-247)."""
     frames = [1205, 1205, 1210, 3405, 3410]
-    g = ingest.build_graph(rows_from(frames), orbit_len=10800)
+    g = ingest.build_graph(rows_from(frames), orbit_len=10800, use_native=False)
     # fillers: 2000, 3000 between 1210 and 3405; tail 4000..10000
     want_times = [1205, 1210, 2000, 3000, 3405, 3410,
                   4000, 5000, 6000, 7000, 8000, 9000, 10000]
@@ -56,7 +56,7 @@ def test_split_windows_no_split_when_sparse():
 
 def test_gate_and_compact():
     frames = [100, 100, 100, 2500]
-    g = ingest.build_graph(rows_from(frames), orbit_len=3000)
+    g = ingest.build_graph(rows_from(frames), orbit_len=3000, use_native=False)
     # fabricate GT with landmarks + projections
     N = len(g.time_idx)
     gt = ingest.GroundTruth(
@@ -84,7 +84,7 @@ def test_gate_and_compact():
 
 def test_gate_drops_knot_without_obs():
     frames = [150, 2500]
-    g = ingest.build_graph(rows_from(frames), orbit_len=3000)
+    g = ingest.build_graph(rows_from(frames), orbit_len=3000, use_native=False)
     assert list(g.time_idx) == [150, 1000, 2000, 2500, 3000]
     N = len(g.time_idx)
     gt = ingest.GroundTruth(

@@ -33,7 +33,8 @@ class DetectionGraph(NamedTuple):
 
 
 def build_graph(det_rows: np.ndarray, orbit_len: int,
-                knot_stride: int = KNOT_STRIDE) -> DetectionGraph:
+                knot_stride: int = KNOT_STRIDE,
+                use_native: bool = True) -> DetectionGraph:
     """Rows [frame, lon, lat, xc, yc, conf] (nadir_sim.py:236) -> graph.
 
     Follows read_detections (od_pipe.py:210-247): knots at unique detection
@@ -47,6 +48,21 @@ def build_graph(det_rows: np.ndarray, orbit_len: int,
     uv = det_rows[:, 3:5]
     lonlat = det_rows[:, 1:3]
     conf = det_rows[:, 5]
+
+    # native C++ fast path (vinsat_tpu/native); numpy fallback below —
+    # cross-checked in tests/test_native.py
+    if use_native:
+        try:
+            from vinsat_tpu import native
+
+            if native.available():
+                ii_n, knots_n = native.build_graph(
+                    frame.astype(np.int64), knot_stride, orbit_len
+                )
+                return DetectionGraph(frame=frame, uv=uv, lonlat=lonlat,
+                                      conf=conf, time_idx=knots_n, ii=ii_n)
+        except Exception:
+            pass
 
     det_times = np.unique(frame).astype(np.int64)
     ii: List[int] = []
@@ -180,13 +196,23 @@ def gate_and_compact(graph: DetectionGraph, gt: GroundTruth,
 
 def split_windows(ii: np.ndarray, time_idx: np.ndarray,
                   contiguous_gap: int = 100, split_gap: int = 200,
-                  min_contiguous: int = 4) -> List[Tuple[int, int, bool]]:
+                  min_contiguous: int = 4,
+                  use_native: bool = True) -> List[Tuple[int, int, bool]]:
     """Sequence of (t_final, i_final, seq_end) window ends
     (identify_next_batch_new, od_pipe.py:898-905).
 
     The contiguous counter accumulates across the scan exactly as in the
     reference (it is not reset at window starts).
     """
+    if use_native:
+        try:
+            from vinsat_tpu import native
+
+            if native.available():
+                return native.split_windows(ii, time_idx, contiguous_gap,
+                                            split_gap, min_contiguous)
+        except Exception:
+            pass
     out = []
     i = 0
     while True:
