@@ -59,6 +59,30 @@ def solve_window(states0, prob: ba.BAProblem, lamda_init, init_iters,
 
 
 @functools.partial(jax.jit, static_argnames=("num_iters", "params"))
+def solve_window_batch(states0_b, prob_b: ba.BAProblem, lamda_b, init_iters,
+                       num_iters: int,
+                       params: ba.SolverParams = ba.SolverParams(),
+                       sched_offset=0):
+    """vmapped constellation solve: a batch of same-bucket windows solved
+    in one jit call (BASELINE.json config 4 — the collective-free
+    data-parallel analog of the reference's process_map fan-out).
+
+    states0_b (B, N, 10); prob_b fields carry a leading B axis except
+    intrinsics (shared); lamda_b (B,).
+    """
+
+    def one(states0, prob, lam):
+        return solve_window.__wrapped__(states0, prob, lam, init_iters,
+                                       num_iters, params, sched_offset)
+
+    in_prob = ba.BAProblem(
+        gaps=0, cum_rot=0, landmarks_xyz=0, landmarks_uv=0, conf=0, ii=0,
+        obs_valid=0, knot_valid=0, pair_valid=0, intrinsics=None,
+    )
+    return jax.vmap(one, in_axes=(0, in_prob, 0))(states0_b, prob_b, lamda_b)
+
+
+@functools.partial(jax.jit, static_argnames=("num_iters", "params"))
 def solve_window_reg(states0, prob: ba.BAProblem, prior: ba.PriorState,
                      lamda_init, num_iters: int,
                      params: ba.SolverParams = ba.SolverParams()):
@@ -179,7 +203,9 @@ def _pad_problem(states, gaps, cum_rot, lm_xyz, lm_uv, conf, ii,
 def stream_orbit(det_rows: np.ndarray, orbit_pos_eci_km: np.ndarray,
                  seed: int = 0, cfg: StreamingConfig = StreamingConfig(),
                  solver: ba.SolverParams = ba.SolverParams(),
-                 intrinsics: Optional[np.ndarray] = None) -> StreamingResult:
+                 intrinsics: Optional[np.ndarray] = None,
+                 metrics=None, checkpoint_path: Optional[str] = None
+                 ) -> StreamingResult:
     """Run streaming OD on one detection sequence.
 
     det_rows: (M, 6) [frame, lon, lat, xc, yc, conf]; orbit_pos_eci_km:
@@ -332,11 +358,31 @@ def stream_orbit(det_rows: np.ndarray, orbit_pos_eci_km: np.ndarray,
         cur_states = np.asarray(out_states)[:t_final]
         t_prev = t_final
 
-        errors.append(
-            np.linalg.norm(cur_states[-1:, :3] - gt.states[t_final - 1:t_final, :3],
-                           axis=-1)
+        end_err = np.linalg.norm(
+            cur_states[-1:, :3] - gt.states[t_final - 1:t_final, :3], axis=-1
         )
+        errors.append(end_err)
         times.append(knot_t[t_final - 1:t_final])
+
+        if metrics is not None:
+            import time as _time
+
+            metrics.log_window(
+                window_idx=w, num_knots=t_final, num_obs=i_final,
+                mean_residual=float("nan"), lamda=lamda,
+                wall_s=_time.time() - getattr(metrics, "_t0", _time.time()),
+                end_error_km=float(end_err[0]),
+            )
+            metrics._t0 = _time.time()
+        if checkpoint_path is not None:
+            from vinsat_tpu.utils import checkpoint as ckpt
+
+            ckpt.save(
+                f"{checkpoint_path}.w{w}.npz", states=cur_states,
+                last_hessian=last_hessian, window_idx=w, lamda=lamda,
+                knot_times=knot_t[:t_final],
+                errors=np.concatenate(errors), times=np.concatenate(times),
+            )
 
         if seq_end and t_final < len(knot_t):
             # tail propagation (od_pipe.py:1045-1059)

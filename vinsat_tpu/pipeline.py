@@ -124,6 +124,98 @@ def run_batch_eval(seeds: List[int], duration_s: int = 10800,
     return ate.summarize(errors, times)
 
 
+def run_constellation(seeds: List[int], duration_s: int = 3600,
+                      num_iters: int = 20, init_iters: int = 10,
+                      cfg: StreamingConfig = StreamingConfig(),
+                      along_track: bool = True,
+                      knot_pad: Optional[int] = None,
+                      obs_pad: Optional[int] = None) -> dict:
+    """Constellation batch OD: B orbits padded to one common bucket and
+    solved with a single vmapped jit call (BASELINE.json config 4: "8 orbits
+    jit-vmapped, per-chip BA").
+
+    Returns per-orbit final mean position errors + throughput counters.
+    """
+    import time as _time
+
+    from vinsat_tpu.core import quat
+    from vinsat_tpu.estimation.window import (_pad_problem, bucket,
+                                              solve_window_batch)
+
+    rng = np.random.default_rng(0)
+    probs, states0, gts, valid_orbits = [], [], [], []
+    for s in seeds:
+        seq = simulate_sequence(s, duration_s, along_track=along_track,
+                                frame_stride=5)
+        if len(seq.det_rows) == 0:
+            continue
+        graph = ingest.build_graph(seq.det_rows, duration_s)
+        gt = ingest.process_ground_truths(seq.orbit_pos_eci_km, graph)
+        intr = jnp.asarray([3547.8512126219637, 3547.8512126219637, 2304.0,
+                            1296.0])
+        uv_proj = np.asarray(factors.project_landmarks(
+            jnp.asarray(gt.states), jnp.asarray(gt.landmarks_xyz),
+            jnp.asarray(graph.ii), intr))
+        graph, gt, _ = ingest.gate_and_compact(graph, gt, uv_proj)
+        N = len(graph.time_idx)
+        if N < 2 or len(graph.ii) == 0:
+            continue
+        pos0 = gt.states[:, :3] + rng.standard_normal((N, 3)) * cfg.noise_pos_km
+        phi = np.asarray(quat.log(jnp.asarray(gt.states[:, 3:7])))
+        phi = phi + rng.standard_normal((N, 3)) * cfg.noise_ori_rad
+        q0 = np.asarray(quat.exp(jnp.asarray(phi)))
+        vs = np.abs(gt.states[:, 7:10]).mean()
+        vel0 = gt.states[:, 7:10] + rng.standard_normal((N, 3)) * vs * cfg.noise_vel_rel
+        st = np.concatenate([pos0, q0, vel0], axis=1)
+        gaps = np.concatenate([np.diff(graph.time_idx), [0]]).astype(np.float64)
+        cum = np.asarray(factors.cumulative_rotations(
+            jnp.asarray(gt.omega_full), 1.0, jnp.asarray(graph.time_idx)))
+        probs.append((st, gaps, cum, gt, graph))
+        valid_orbits.append(s)
+
+    if not probs:
+        return {"num_orbits": 0}
+    n_pad = knot_pad or max(bucket(p[0].shape[0], cfg.knot_bucket)
+                            for p in probs)
+    m_pad = obs_pad or max(bucket(len(p[4].ii), cfg.obs_bucket,
+                                  cfg.obs_bucket) for p in probs)
+    st_list, prob_list = [], []
+    for st, gaps, cum, gt, graph in probs:
+        s0, pb = _pad_problem(st, gaps, cum, gt.landmarks_xyz, graph.uv,
+                              graph.conf, graph.ii, n_pad, m_pad, cfg.dtype)
+        st_list.append(s0)
+        prob_list.append(pb)
+    states_b = jnp.stack(st_list)
+    prob_b = jax.tree.map(lambda *xs: jnp.stack(xs), *prob_list)
+    prob_b = prob_b._replace(intrinsics=prob_list[0].intrinsics)
+    lamda_b = jnp.full((len(probs),), cfg.lambda_init,
+                       jnp.dtype(cfg.dtype))
+    max_gap = max(float(p[1].max()) for p in probs)
+    solver = ba.SolverParams(num_hops=int(np.ceil(max_gap / 100.0)) + 1)
+
+    t0 = _time.time()
+    out_b, _, _ = solve_window_batch(
+        states_b, prob_b, lamda_b, jnp.asarray(init_iters), num_iters, solver,
+        sched_offset=jnp.asarray(-init_iters),
+    )
+    jax.block_until_ready(out_b)
+    wall = _time.time() - t0
+
+    errs = []
+    for i, (st, gaps, cum, gt, graph) in enumerate(probs):
+        N = st.shape[0]
+        e = np.linalg.norm(
+            np.asarray(out_b[i][:N, :3]) - gt.states[:, :3], axis=-1)
+        errs.append(float(np.median(e)))
+    return {
+        "num_orbits": len(probs),
+        "orbit_seeds": valid_orbits,
+        "median_errors_km": errs,
+        "wall_s": wall,
+        "orbit_frames_per_s": len(probs) * duration_s / wall,
+    }
+
+
 def run_full_batch(seq: SimulatedSequence, seed: int = 0,
                    num_iters: int = 100, init_iters: int = 10,
                    cfg: StreamingConfig = StreamingConfig()
