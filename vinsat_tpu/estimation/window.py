@@ -28,7 +28,15 @@ from vinsat_tpu.estimation import ba, factors, ingest
 
 
 def bucket(n: int, step: int = 16, minimum: int = 16) -> int:
-    return max(minimum, ((n + step - 1) // step) * step)
+    """Next power-of-two bucket >= max(n, minimum).
+
+    Growing-prefix windows would otherwise produce a new padded shape (and a
+    fresh XLA compile) per window; power-of-two growth caps the number of
+    distinct compiled shapes at log2(N_total).
+    """
+    m = max(minimum, n)
+    p = 1 << (m - 1).bit_length()
+    return p
 
 
 @functools.partial(jax.jit, static_argnames=("num_iters", "params"))
