@@ -62,6 +62,35 @@ def cmd_stream(args):
             np.array(times, dtype=object), allow_pickle=True)
 
 
+def cmd_fullbatch(args):
+    from vinsat_tpu import pipeline
+
+    for fn in sorted(os.listdir(args.data)):
+        if not fn.endswith("_all_detections.npy"):
+            continue
+        sid = fn.split("_")[0]
+        det = np.load(os.path.join(args.data, fn))
+        orbit = np.load(os.path.join(args.data, f"{sid}_orbit_eci_km.npy"))
+        if len(det) == 0:
+            continue
+        seq = pipeline.SimulatedSequence(det, orbit, None, None)
+        states, knot_t, gt_states = pipeline.run_full_batch(
+            seq, seed=int(sid), num_iters=args.iters
+        )
+        err = np.linalg.norm(states[:, :3] - gt_states[:, :3], axis=-1)
+        print(f"{sid}: median knot error {np.median(err):.3f} km")
+
+
+def cmd_constellation(args):
+    from vinsat_tpu import pipeline
+
+    out = pipeline.run_constellation(
+        list(range(args.first, args.first + args.num)),
+        duration_s=args.duration, num_iters=args.iters,
+    )
+    print(json.dumps(out, indent=2))
+
+
 def cmd_eval(args):
     from vinsat_tpu.evalx import ate
 
@@ -137,6 +166,18 @@ def main(argv=None):
     s.add_argument("--out", required=True)
     s.add_argument("--use-prior", action="store_true")
     s.set_defaults(fn=cmd_stream)
+
+    s = sub.add_parser("fullbatch")
+    s.add_argument("--data", required=True)
+    s.add_argument("--iters", type=int, default=100)
+    s.set_defaults(fn=cmd_fullbatch)
+
+    s = sub.add_parser("constellation")
+    s.add_argument("--first", type=int, default=0)
+    s.add_argument("--num", type=int, default=8)
+    s.add_argument("--duration", type=int, default=3600)
+    s.add_argument("--iters", type=int, default=20)
+    s.set_defaults(fn=cmd_constellation)
 
     s = sub.add_parser("eval")
     s.add_argument("--data", required=True)

@@ -37,7 +37,7 @@ def make_mesh(n_orbit: Optional[int] = None, n_arc: Optional[int] = None,
         n_orbit = n // n_arc
     elif n_arc is None:
         n_arc = n // n_orbit
-    assert n_orbit * n_arc == n, (n_orbit, n_arc, n)
+    assert n_orbit * n_arc <= n, (n_orbit, n_arc, n)
     dev = np.array(devices[: n_orbit * n_arc]).reshape(n_orbit, n_arc)
     return Mesh(dev, axis_names=("orbit", "arc"))
 
