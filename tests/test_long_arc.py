@@ -1,0 +1,23 @@
+"""Long-arc distributed OD over the 8-shard virtual mesh (config 5)."""
+import numpy as np
+import jax.numpy as jnp
+
+from vinsat_tpu import pipeline
+from vinsat_tpu.dist import long_arc, mesh as mesh_mod
+
+
+def test_long_arc_sharded_convergence():
+    seq = pipeline.simulate_sequence(1, duration_s=1800, frame_stride=10,
+                                     along_track=True)
+    mesh = mesh_mod.make_mesh(n_orbit=1, n_arc=8)
+    prob, gt_states, knot_t, n_real = long_arc.build_sharded_problem(
+        seq, n_arc=8, dtype=jnp.float64, noise_pos_km=20.0,
+    )
+    assert n_real > 16
+    res = long_arc.solve_long_arc(mesh, prob, gt_states, knot_t, n_real,
+                                  num_iters=12)
+    # knots inside the detection span converge well under the 5 km target;
+    # use the median (edge knots with few obs are weaker)
+    med = float(np.median(res.errors_km))
+    assert med < 5.0, f"median long-arc error {med} km"
+    assert np.isfinite(res.states).all()

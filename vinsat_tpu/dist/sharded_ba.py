@@ -79,7 +79,7 @@ def _push_right(x, axis, nshards):
 
 def _one_orbit_iteration(sched_iter, lamda, states_l, gaps_l, cum_l, lm_l,
                          uv_l, conf_l, ov_l, pv_l, intr, params: SolverParams,
-                         axis: str, nshards: int):
+                         axis: str, nshards: int, initialize=0.0):
     """One LM iteration for ONE orbit whose knots are sharded over `axis`.
 
     All *_l arrays are the local knot chunk (Nl, ...).  Runs inside
@@ -120,10 +120,11 @@ def _one_orbit_iteration(sched_iter, lamda, states_l, gaps_l, cum_l, lm_l,
     sigma = jnp.minimum(params.sigma_scale * (it + 1.0) ** 2, params.sigma_max)
 
     # --- dynamics factor with halo knot --------------------------------
+    dyn_on = 1.0 - jnp.asarray(initialize, dtype)
     halo_state = _halo_from_right(states_l[0], axis, nshards)  # (10,)
     states_ext = jnp.concatenate([states_l, halo_state[None]], axis=0)
     cum_ext = jnp.concatenate([cum_l, cum_l[-1:]], axis=0)
-    pv_ext = pv_l  # (Nl,) pair t -> t+1 activity, incl. boundary pair
+    pv_ext = pv_l * dyn_on  # (Nl,) pair activity; zeroed in vision-only init
     dyn = factors.dynamics_factor(
         states_ext, jnp.concatenate([gaps_l, jnp.zeros(1, dtype)]),
         cum_ext, qc, vc, valid_pair=pv_ext,
@@ -232,12 +233,12 @@ def make_sharded_ba_step(mesh: Mesh, params: SolverParams = SolverParams()):
     nshards = mesh.shape["arc"]
     axis = "arc"
 
-    def body(sched_iter, lamda_b, states, gaps, cum, lm, uv, conf, ov, pv,
-             intr):
+    def body(sched_iter, init_flag, lamda_b, states, gaps, cum, lm, uv,
+             conf, ov, pv, intr):
         def per_orbit(lam, st, g, cr, l, u, cf, o, p):
             return _one_orbit_iteration(
                 sched_iter, lam, st, g, cr, l, u, cf, o, p, intr, params,
-                axis, nshards,
+                axis, nshards, initialize=init_flag,
             )
 
         return jax.vmap(per_orbit)(lamda_b, states, gaps, cum, lm, uv, conf,
@@ -247,15 +248,16 @@ def make_sharded_ba_step(mesh: Mesh, params: SolverParams = SolverParams()):
     bspec = P("orbit", "arc")
     fn = jax.shard_map(
         body, mesh=mesh,
-        in_specs=(P(), ospec, bspec, bspec, bspec, bspec, bspec, bspec,
+        in_specs=(P(), P(), ospec, bspec, bspec, bspec, bspec, bspec, bspec,
                   bspec, bspec, P()),
         out_specs=(bspec, ospec),
         check_vma=False,
     )
 
     @jax.jit
-    def step(sched_iter, lamda_b, prob: ShardedProblem):
-        return fn(sched_iter, lamda_b, prob.states, prob.gaps, prob.cum_rot,
+    def step(sched_iter, lamda_b, prob: ShardedProblem, initialize=0.0):
+        return fn(sched_iter, jnp.asarray(initialize, prob.states.dtype),
+                  lamda_b, prob.states, prob.gaps, prob.cum_rot,
                   prob.lm_xyz, prob.uv, prob.conf, prob.obs_valid,
                   prob.pair_valid, prob.intrinsics)
 
