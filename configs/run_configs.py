@@ -1,0 +1,156 @@
+#!/usr/bin/env python
+"""Runnable benchmark configurations matching BASELINE.json's five configs.
+
+  1 ekf        — single simulated orbit, known landmarks, EKF-only OD
+  2 fullbatch  — same orbit, full-batch BA replacing EKF smoothing
+  3 streaming  — noisy detections + downselect matching, streaming BA
+  4 constellation — 8 orbits jit-vmapped, per-chip batch BA
+  5 longarc    — long arc sharded across the device mesh, distributed BA
+
+Usage: python configs/run_configs.py <1|2|3|4|5|all> [--duration S]
+Prints one JSON result line per config.
+"""
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _result(name, **kw):
+    print(json.dumps({"config": name, **kw}))
+
+
+def run_ekf(duration):
+    import jax
+    import jax.numpy as jnp
+
+    from vinsat_tpu import pipeline
+    from vinsat_tpu.core import quat
+    from vinsat_tpu.estimation import ekf, factors, ingest
+
+    seq = pipeline.simulate_sequence(1, duration_s=duration, frame_stride=5,
+                                     along_track=True)
+    graph = ingest.build_graph(seq.det_rows, duration)
+    gt = ingest.process_ground_truths(seq.orbit_pos_eci_km, graph)
+    intr = jnp.asarray([3547.8512126219637, 3547.8512126219637, 2304.0, 1296.0])
+
+    N = len(graph.time_idx)
+    D = 8
+    lm = np.zeros((N, D, 3))
+    uv = np.zeros((N, D, 2))
+    ov = np.zeros((N, D))
+    fill = np.zeros(N, int)
+    for j, k in enumerate(graph.ii):
+        if fill[k] >= D:
+            continue
+        lm[k, fill[k]] = gt.landmarks_xyz[j]
+        uv[k, fill[k]] = graph.uv[j]
+        ov[k, fill[k]] = 1.0
+        fill[k] += 1
+    gaps = np.concatenate([[0.0], np.diff(graph.time_idx)]).astype(float)
+    cum = np.asarray(factors.cumulative_rotations(
+        jnp.asarray(gt.omega_full), 1.0, jnp.asarray(graph.time_idx)))
+    cum_before = np.concatenate([[[0, 0, 0, 1.0]], cum[:-1]], axis=0)
+
+    x0 = gt.states[0].copy()
+    x0[:3] += np.array([30.0, -20.0, 10.0])
+    cov0 = jnp.diag(jnp.array([1e3] * 3 + [1e-2] * 3 + [1e-1] * 3))
+    t0 = time.time()
+    states, covs = ekf.run_filter(
+        jnp.asarray(x0), cov0, jnp.asarray(gaps), jnp.asarray(cum_before),
+        jnp.asarray(lm), jnp.asarray(uv), jnp.asarray(ov), intr,
+        ekf.EKFConfig(num_hops=int(np.ceil(max(gaps.max(), 1) / 100)) + 1),
+    )
+    jax.block_until_ready(states)
+    wall = time.time() - t0
+    err = np.linalg.norm(np.asarray(states)[:, :3] - gt.states[:, :3], axis=-1)
+    _result("1-ekf", final_error_km=round(float(err[-1]), 3),
+            median_error_km=round(float(np.median(err)), 3),
+            knots=N, wall_s=round(wall, 2))
+
+
+def run_fullbatch(duration):
+    from vinsat_tpu import pipeline
+
+    seq = pipeline.simulate_sequence(1, duration_s=duration, frame_stride=5,
+                                     along_track=True)
+    t0 = time.time()
+    states, knot_t, gt_states = pipeline.run_full_batch(seq, seed=1,
+                                                        num_iters=40)
+    wall = time.time() - t0
+    err = np.linalg.norm(states[:, :3] - gt_states[:, :3], axis=-1)
+    _result("2-fullbatch", median_error_km=round(float(np.median(err)), 3),
+            knots=len(knot_t), wall_s=round(wall, 2))
+
+
+def run_streaming(duration):
+    from vinsat_tpu import pipeline
+    from vinsat_tpu.evalx import ate
+
+    seq = pipeline.simulate_sequence(1, duration_s=duration, frame_stride=5,
+                                     along_track=True)
+    t0 = time.time()
+    res = pipeline.run_streaming(seq, seed=1)
+    wall = time.time() - t0
+    t5 = ate.time_to_threshold(res.errors, res.times, 5.0)
+    _result("3-streaming", min_error_km=round(float(res.errors.min()), 3),
+            time_to_5km_s=t5, wall_s=round(wall, 2),
+            frames_per_s=round(duration / wall, 1))
+
+
+def run_constellation(duration):
+    from vinsat_tpu import pipeline
+
+    out = pipeline.run_constellation(list(range(8)), duration_s=duration,
+                                     num_iters=20)
+    _result("4-constellation", **{
+        k: v for k, v in out.items() if k != "median_errors_km"
+    }, median_errors_km=[round(e, 2) for e in out.get("median_errors_km", [])])
+
+
+def run_longarc(duration):
+    import jax
+    import jax.numpy as jnp
+
+    from vinsat_tpu import pipeline
+    from vinsat_tpu.dist import long_arc, mesh as mesh_mod
+
+    n_arc = min(8, len(jax.devices()))
+    mesh = mesh_mod.make_mesh(n_orbit=1, n_arc=n_arc)
+    seq = pipeline.simulate_sequence(1, duration_s=duration, frame_stride=5,
+                                     along_track=True)
+    dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    prob, gt_states, knot_t, n_real = long_arc.build_sharded_problem(
+        seq, n_arc=n_arc, dtype=dtype, noise_pos_km=50.0)
+    t0 = time.time()
+    res = long_arc.solve_long_arc(mesh, prob, gt_states, knot_t, n_real,
+                                  num_iters=20, init_iters=8)
+    wall = time.time() - t0
+    _result("5-longarc", shards=n_arc, knots=n_real,
+            median_error_km=round(float(np.median(res.errors_km)), 3),
+            wall_s=round(wall, 2))
+
+
+RUNNERS = {"1": run_ekf, "2": run_fullbatch, "3": run_streaming,
+           "4": run_constellation, "5": run_longarc}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("which", choices=list(RUNNERS) + ["all"])
+    ap.add_argument("--duration", type=int, default=3600)
+    args = ap.parse_args()
+    keys = list(RUNNERS) if args.which == "all" else [args.which]
+    for k in keys:
+        try:
+            RUNNERS[k](args.duration)
+        except Exception as e:  # keep going; report the failure
+            _result(f"{k}-FAILED", error=str(e)[:200])
+            if len(keys) == 1:
+                raise
+
+
+if __name__ == "__main__":
+    main()

@@ -147,7 +147,31 @@ def cmd_label(args):
     print(f"wrote {len(rows)} labels to {args.output_path}")
 
 
+def _configure_jax():
+    """CLI-level JAX setup: f64 on CPU (the validation configuration — f32
+    without it silently truncates and costs accuracy), true-f32 matmuls on
+    TPU, persistent compilation cache."""
+    import jax
+
+    try:
+        backend = jax.default_backend()
+    except RuntimeError:
+        # e.g. JAX_PLATFORMS names an unregistered plugin platform
+        jax.config.update("jax_platforms", "")
+        backend = jax.default_backend()
+    if backend == "cpu":
+        jax.config.update("jax_enable_x64", True)
+    jax.config.update("jax_default_matmul_precision", "highest")
+    cache = os.environ.get(
+        "VINSAT_JAX_CACHE", os.path.expanduser("~/.cache/vinsat_jax")
+    )
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
 def main(argv=None):
+    _configure_jax()
     p = argparse.ArgumentParser(prog="vinsat_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
 

@@ -28,15 +28,19 @@ from vinsat_tpu.estimation import ba, factors, ingest
 
 
 def bucket(n: int, step: int = 16, minimum: int = 16) -> int:
-    """Next power-of-two bucket >= max(n, minimum).
+    """Quarter-geometric bucket >= max(n, minimum): the next multiple of
+    2^floor(log2(n))/4.
 
     Growing-prefix windows would otherwise produce a new padded shape (and a
-    fresh XLA compile) per window; power-of-two growth caps the number of
-    distinct compiled shapes at log2(N_total).
+    fresh XLA compile) per window; geometric bucket growth caps the number
+    of distinct compiled shapes at ~4*log2(N_total) while wasting at most
+    25% padding (a pure power-of-two bucket can waste ~2x scan length,
+    which dominates compile AND run time for the sequential block solve).
     """
     m = max(minimum, n)
-    p = 1 << (m - 1).bit_length()
-    return p
+    p = 1 << (m - 1).bit_length()  # next pow2 >= m
+    q = max(minimum, p // 8)  # quarter of previous pow2 tier
+    return ((m + q - 1) // q) * q
 
 
 @functools.partial(jax.jit, static_argnames=("num_iters", "params"))
@@ -337,6 +341,9 @@ def stream_orbit(det_rows: np.ndarray, orbit_pos_eci_km: np.ndarray,
             graph.conf[:i_final], graph.ii[:i_final], n_pad, m_pad, dtype,
         )
         init_iters = cfg.init_iters if w == 0 else 0
+        # each window starts its lambda schedule fresh from lambda_init
+        # (od_pipe.py:1033: lamda_init_t = lamda_init)
+        lamda = cfg.lambda_init
         if cfg.use_prior and w > 0 and prior_full is not None:
             ps, hs, hr, a, b = prior_full
             jd = jnp.dtype(dtype)
