@@ -55,3 +55,20 @@ def test_labeling_grid():
     np.testing.assert_allclose(xc, 0.5, atol=1e-6)
     np.testing.assert_allclose(yc, 0.5, atol=1e-6)
     assert 0 < w < 0.2 and 0 < h < 0.2
+
+
+def test_normal_eq_kernel_interpret_matches_reference(rng):
+    import jax.numpy as jnp
+
+    from vinsat_tpu.kernels import normal_eq
+
+    N, D = 13, 4
+    J = jnp.array(rng.normal(size=(N, D, 2, 9)))
+    r = jnp.array(rng.normal(size=(N, D, 2)))
+    w = jnp.array(rng.random((N, D)))
+    G, g = normal_eq.assemble_normal_eq(J, r, w, interpret=True)
+    G_ref, g_ref = normal_eq.assemble_normal_eq_reference(J, r, w)
+    np.testing.assert_allclose(np.asarray(G), np.asarray(G_ref), rtol=1e-5,
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), rtol=1e-5,
+                               atol=1e-6)

@@ -194,6 +194,52 @@ def gate_and_compact(graph: DetectionGraph, gt: GroundTruth,
     return graph2, gt2, mask
 
 
+def add_proxy_landmarks(graph: DetectionGraph, gt: GroundTruth,
+                        intrinsics, num_proxies: int = 8,
+                        min_obs: int = 4, noise_px: float = 20.0,
+                        offset_km: float = 50.0, conf: float = 0.75,
+                        seed: int = 0) -> Tuple[DetectionGraph, GroundTruth]:
+    """Augment sparsely observed knots with synthetic proxy landmarks
+    (add_proxy_landmarks, od_pipe.py:290-305): knots with <= min_obs
+    observations get num_proxies extra landmarks offset from an existing one,
+    with their GT reprojections + pixel noise as measurements at fixed
+    confidence."""
+    import jax.numpy as jnp
+
+    from vinsat_tpu.estimation import factors
+
+    rng = np.random.default_rng(seed)
+    lm = [gt.landmarks_xyz]
+    uv = [graph.uv]
+    ll = [graph.lonlat]
+    cf = [graph.conf]
+    fr = [graph.frame]
+    ii = [graph.ii]
+    for k in np.unique(graph.ii):
+        mask = graph.ii == k
+        if mask.sum() > min_obs:
+            continue
+        base = gt.landmarks_xyz[mask][:1]
+        new_lm = base + rng.standard_normal((num_proxies, 3)) * offset_km
+        proj = np.asarray(factors.project_landmarks(
+            jnp.asarray(gt.states), jnp.asarray(new_lm),
+            jnp.full(num_proxies, k, dtype=jnp.int32), jnp.asarray(intrinsics),
+        ))
+        lm.append(new_lm)
+        uv.append(proj + rng.standard_normal((num_proxies, 2)) * noise_px)
+        ll.append(np.zeros((num_proxies, 2)))
+        cf.append(np.full(num_proxies, conf))
+        fr.append(np.full(num_proxies, graph.time_idx[k]))
+        ii.append(np.full(num_proxies, k, dtype=graph.ii.dtype))
+    graph2 = DetectionGraph(
+        frame=np.concatenate(fr), uv=np.concatenate(uv),
+        lonlat=np.concatenate(ll), conf=np.concatenate(cf),
+        time_idx=graph.time_idx, ii=np.concatenate(ii),
+    )
+    gt2 = gt._replace(landmarks_xyz=np.concatenate(lm))
+    return graph2, gt2
+
+
 def split_windows(ii: np.ndarray, time_idx: np.ndarray,
                   contiguous_gap: int = 100, split_gap: int = 200,
                   min_contiguous: int = 4,

@@ -165,6 +165,9 @@ class StreamingConfig(NamedTuple):
     # instead of plain BA (reference main path uses BA, od_pipe.py:1040;
     # BA_reg is its streaming_debugging variant, od_pipe.py:893)
     use_prior: bool = False
+    # measurement-noise dial (od_pipe.py:941-942): 1.0 = real detections,
+    # 0.0 = perfect GT reprojections; interpolates in between
+    noise_level: float = 1.0
 
 
 def _pad_problem(states, gaps, cum_rot, lm_xyz, lm_uv, conf, ii,
@@ -245,12 +248,20 @@ def stream_orbit(det_rows: np.ndarray, orbit_pos_eci_km: np.ndarray,
             jnp.asarray(graph.ii), intr,
         )
     )
-    graph, gt, _ = ingest.gate_and_compact(graph, gt, uv_proj)
+    graph, gt, kept = ingest.gate_and_compact(graph, gt, uv_proj)
 
     N = len(graph.time_idx)
     if len(graph.ii) == 0 or N < 2:
         return StreamingResult(np.array([]), np.array([]), -1,
                                gt.states, graph.time_idx)
+
+    if cfg.noise_level != 1.0:
+        # interpolate measurements toward perfect GT reprojections
+        # (od_pipe.py:941-942)
+        uv_kept = uv_proj[kept]
+        graph = graph._replace(
+            uv=graph.uv + (uv_kept - graph.uv) * (1.0 - cfg.noise_level)
+        )
 
     # initial guess: GT + noise (od_pipe.py:962-969)
     pos0 = gt.states[:, :3] + rng.standard_normal((N, 3)) * cfg.noise_pos_km

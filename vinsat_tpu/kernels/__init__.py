@@ -1,1 +1,1 @@
-from vinsat_tpu.kernels import matching  # noqa: F401
+from vinsat_tpu.kernels import matching, normal_eq  # noqa: F401
