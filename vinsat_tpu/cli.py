@@ -118,6 +118,24 @@ def cmd_eval(args):
         print(f"saved {args.plot}", file=sys.stderr)
 
 
+def cmd_evaldet(args):
+    """Detector QA: class stats + best-conf search over an error-record npy
+    (eval/eval_landmarks.py CLI surface; records are [cls, err_px, conf])."""
+    from vinsat_tpu.evalx import px_err
+
+    err = np.load(args.err_path)
+    classes, best_conf = px_err.best_conf_maximize_classes(
+        err, px_threshold=args.px_threshold
+    )
+    summary = px_err.summarize_detector(err, args.px_threshold)
+    print(json.dumps(summary, indent=2))
+    if args.save_best_conf:
+        np.save(args.best_conf_path, best_conf)
+        if classes is not None:
+            np.save(args.best_classes_path, np.unique(classes[:, 0]))
+        print(f"saved best_conf={best_conf:.3f}", file=sys.stderr)
+
+
 def cmd_downselect(args):
     from vinsat_tpu.sim.landmarks import downselect_by_saliency
 
@@ -207,6 +225,14 @@ def main(argv=None):
     s.add_argument("--data", required=True)
     s.add_argument("--plot", default=None)
     s.set_defaults(fn=cmd_eval)
+
+    s = sub.add_parser("evaldet")
+    s.add_argument("--err_path", required=True)
+    s.add_argument("--px_threshold", type=float, default=10.0)
+    s.add_argument("--save_best_conf", action="store_true")
+    s.add_argument("--best_conf_path", default="best_conf.npy")
+    s.add_argument("--best_classes_path", default="best_classes.npy")
+    s.set_defaults(fn=cmd_evaldet)
 
     s = sub.add_parser("downselect")
     s.add_argument("--path", required=True)

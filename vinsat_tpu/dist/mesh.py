@@ -21,6 +21,29 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> int:
+    """Initialize jax.distributed for multi-host pods and return the global
+    device count.
+
+    The reference has no distributed backend at all (SURVEY.md §5); here
+    multi-host runs use XLA collectives over ICI/DCN.  Call once per process
+    before building meshes; with TPU pod env vars set, all arguments are
+    auto-detected.  Placement guidance: keep the "arc" axis within a host's
+    ICI domain and put the "orbit" (data-parallel, collective-free) axis
+    across hosts so no BA collective crosses DCN.
+    """
+    import jax
+
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs = dict(coordinator_address=coordinator_address,
+                      num_processes=num_processes, process_id=process_id)
+    jax.distributed.initialize(**kwargs)
+    return len(jax.devices())
+
+
 def make_mesh(n_orbit: Optional[int] = None, n_arc: Optional[int] = None,
               devices: Optional[Sequence] = None) -> Mesh:
     """Create an ("orbit", "arc") mesh over the available devices.
