@@ -38,6 +38,36 @@ def cumulative_fraction(errors_list: Sequence[np.ndarray],
     return t5_sorted, frac
 
 
+def ground_track(pos_ecef_km: np.ndarray):
+    """(lat_deg, lon_deg, alt_km) of a trajectory (get_ground_track,
+    sim/nadir_sim.py:65-80)."""
+    import jax.numpy as jnp
+
+    from vinsat_tpu.core import frames
+
+    lat, lon, alt = frames.ecef_to_geodetic(jnp.asarray(pos_ecef_km))
+    return np.asarray(lat), np.asarray(lon), np.asarray(alt)
+
+
+def plot_ground_track(lat_deg, lon_deg, path: str):
+    """Scatter the ground track to a PNG (plot_ground_track,
+    sim/nadir_sim.py:82-92)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(10, 5))
+    ax.scatter(lon_deg, lat_deg, s=1)
+    ax.set_xlabel("Longitude (deg)")
+    ax.set_ylabel("Latitude (deg)")
+    ax.set_xlim(-180, 180)
+    ax.set_ylim(-90, 90)
+    ax.grid(True)
+    fig.savefig(path, dpi=100)
+    plt.close(fig)
+
+
 def summarize(errors_list: Sequence[np.ndarray],
               times_list: Sequence[np.ndarray]) -> Dict[str, float]:
     """Headline summary across orbits: convergence fraction and median
