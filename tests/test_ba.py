@@ -173,3 +173,29 @@ def test_ba_initialize_mode_vision_only(rng):
         np.asarray(s1.states[:, :7]), np.asarray(s2.states[:, :7]),
         rtol=1e-9, atol=1e-9,
     )
+
+
+def test_chunked_tridiag_matches_sequential(rng):
+    for N, C in [(32, 4), (64, 8), (96, 4)]:
+        k = 9
+        D = rng.normal(size=(N, k, k))
+        D = D @ D.transpose(0, 2, 1) + 10 * np.eye(k)
+        U = rng.normal(size=(N - 1, k, k)) * 0.3
+        b = rng.normal(size=(N, k))
+        Dj, Uj, bj = jnp.array(D), jnp.array(U), jnp.array(b)
+        x_seq = np.asarray(ba.block_tridiag_solve(Dj, Uj, bj))
+        x_chn = np.asarray(ba.block_tridiag_solve_chunked(Dj, Uj, bj, C))
+        np.testing.assert_allclose(x_chn, x_seq, rtol=1e-7, atol=1e-9)
+
+
+def test_auto_chunks():
+    assert ba._auto_chunks(64) == 1
+    assert ba._auto_chunks(128) == 8
+    assert ba._auto_chunks(256) == 16
+    assert ba._auto_chunks(2560) == 32
+    # sequential depth m + 2C stays near-minimal and N divisible
+    for n in (128, 256, 512, 2560):
+        c = ba._auto_chunks(n)
+        assert n % c == 0 and c * c <= n
+    # odd sizes fall back to few chunks without breaking divisibility
+    assert ba._auto_chunks(130) == 2

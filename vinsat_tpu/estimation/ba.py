@@ -149,14 +149,97 @@ def jacobi_scaled_tridiag_solve(D, U, b):
     Ds = D * s[:, :, None] * s[:, None, :]
     Us = U * s[:-1, :, None] * s[1:, None, :]
     bs = b * s
-    xs = block_tridiag_solve(Ds, Us, bs)
+    xs = block_tridiag_solve_chunked(Ds, Us, bs, _auto_chunks(D.shape[0]))
     return xs * s
+
+
+def _auto_chunks(N: int) -> int:
+    """Largest power-of-two divisor of N that is <= sqrt(N) (and >= 2 only
+    when worthwhile): minimizes sequential depth m + 2C of the chunked
+    SPIKE solve.  Small windows stay on the plain scan."""
+    if N < 128:
+        return 1
+    c = 1
+    while (2 * c) * (2 * c) <= N and N % (2 * c) == 0:
+        c *= 2
+    return c
 
 
 def block_tridiag_solve_multi(D, U, B):
     """block_tridiag_solve with a matrix RHS: B (N, k, r) -> X (N, k, r)."""
     return jax.vmap(block_tridiag_solve, in_axes=(None, None, 2),
                     out_axes=2)(D, U, B)
+
+
+def block_tridiag_solve_chunked(D, U, b, num_chunks: int):
+    """Single-chip PARALLEL block-tridiagonal solve: SPIKE over vmapped
+    chunks.
+
+    The sequential Thomas scan is the latency bottleneck at large N (one
+    9x9 solve per knot, serially).  Splitting the N rows into `num_chunks`
+    chunks, Thomas-eliminating all chunks IN PARALLEL (vmap), solving the
+    small 2*num_chunks boundary system sequentially, and back-substituting
+    in parallel cuts the sequential depth from N to N/num_chunks +
+    2*num_chunks.  Same math as the multi-chip SPIKE (dist/tridiag.py) with
+    vmap standing in for the mesh.
+
+    N must be divisible by num_chunks; pass num_chunks=1 to fall back to
+    the plain scan.
+    """
+    N, k, _ = D.shape
+    if num_chunks <= 1:
+        return block_tridiag_solve(D, U, b)
+    assert N % num_chunks == 0, (N, num_chunks)
+    m = N // num_chunks
+    U_pad = jnp.concatenate([U, jnp.zeros((1, k, k), D.dtype)], axis=0)
+    Dc = D.reshape(num_chunks, m, k, k)
+    Uc = U_pad.reshape(num_chunks, m, k, k)  # Uc[c, -1] couples to chunk c+1
+    bc = b.reshape(num_chunks, m, k)
+    # left-boundary coupling for each chunk = previous chunk's last U
+    U_prev_last = jnp.concatenate(
+        [jnp.zeros((1, k, k), D.dtype), Uc[:-1, -1]], axis=0
+    )
+
+    def local(Dl, Ul, bl, Upl):
+        L_first = Upl.T
+        U_inner = Ul[:-1]
+        g = block_tridiag_solve(Dl, U_inner, bl)
+        rhs = jnp.zeros((m, k, 2 * k), D.dtype)
+        rhs = rhs.at[0, :, :k].set(L_first)
+        rhs = rhs.at[-1, :, k:].set(Ul[-1])
+        VW = block_tridiag_solve_multi(Dl, U_inner, rhs)
+        return g, VW[..., :k], VW[..., k:]
+
+    g, V, W = jax.vmap(local)(Dc, Uc, bc, U_prev_last)  # (C, m, ...)
+
+    # reduced block-tridiagonal system in the 2C boundary unknowns
+    C = num_chunks
+    twoC = 2 * C
+    eye = jnp.eye(k, dtype=D.dtype)
+    R = jnp.zeros((twoC, twoC, k, k), D.dtype)
+    idx = jnp.arange(twoC)
+    R = R.at[idx, idx].set(eye)
+    for c in range(C):
+        if c > 0:
+            R = R.at[2 * c, 2 * c - 1].set(V[c, 0])
+            R = R.at[2 * c + 1, 2 * c - 1].set(V[c, -1])
+        if c < C - 1:
+            R = R.at[2 * c, 2 * c + 2].set(W[c, 0])
+            R = R.at[2 * c + 1, 2 * c + 2].set(W[c, -1])
+    rhs = jnp.stack([g[:, 0], g[:, -1]], axis=1).reshape(twoC * k)
+    Rd = R.transpose(0, 2, 1, 3).reshape(twoC * k, twoC * k)
+    y = jnp.linalg.solve(Rd, rhs).reshape(twoC, k)
+
+    x_left = jnp.concatenate(
+        [jnp.zeros((1, k), D.dtype), y[1:-1:2]], axis=0
+    )  # last boundary of chunk c-1
+    x_right = jnp.concatenate(
+        [y[2::2], jnp.zeros((1, k), D.dtype)], axis=0
+    )  # first boundary of chunk c+1
+    x = g - jnp.einsum("cmij,cj->cmi", V, x_left) - jnp.einsum(
+        "cmij,cj->cmi", W, x_right
+    )
+    return x.reshape(N, k)
 
 
 def dense_from_blocks(D, U):
