@@ -106,32 +106,45 @@ def block_tridiag_solve(D, U, b):
     D (N, k, k), U (N-1, k, k), b (N, k) -> x (N, k).
     For matrix right-hand sides (N, k, r) use block_tridiag_solve_multi.
     """
+    x = block_tridiag_solve_blockrhs(D, U, b[..., None])
+    return x[..., 0]
+
+
+def block_tridiag_solve_blockrhs(D, U, B):
+    """Thomas solve with a block RHS B (N, k, R) -> X (N, k, R).
+
+    One LU factorization per row for ALL R right-hand-side columns plus the
+    coupling block (a single jnp.linalg.solve with a (k, k+R) RHS) — the
+    column-wise vmap variant factorizes the same 9x9 row block R+1 times.
+    """
     N, k, _ = D.shape
+    R = B.shape[-1]
 
     # Row t eliminates with U_{t-1} (the sub-diagonal block, = U_{t-1}^T) and
     # prepares C_t = denom^{-1} U_t for the next row.
     U_pad = jnp.concatenate([U, jnp.zeros((1, k, k), D.dtype)], axis=0)  # U_t
     U_prev = jnp.concatenate([jnp.zeros((1, k, k), D.dtype), U], axis=0)
 
-    def fwd2(carry, inp):
+    def fwd(carry, inp):
         C_prev, d_prev = carry
-        Dt, Utm1, Ut, bt = inp
+        Dt, Utm1, Ut, Bt = inp
         denom = Dt - Utm1.T @ C_prev
-        C_t = jnp.linalg.solve(denom, Ut)
-        d_t = jnp.linalg.solve(denom, bt - Utm1.T @ d_prev)
+        rhs = jnp.concatenate([Ut, Bt - Utm1.T @ d_prev], axis=1)
+        sol = jnp.linalg.solve(denom, rhs)
+        C_t, d_t = sol[:, :k], sol[:, k:]
         return (C_t, d_t), (C_t, d_t)
 
     # carries built with zeros_like so they inherit the inputs' manual-axis
     # varying-ness (required when this runs inside shard_map)
-    init = (jnp.zeros_like(D[0]), jnp.zeros_like(b[0]))
-    _, (Cs, ds) = jax.lax.scan(fwd2, init, (D, U_prev, U_pad, b))
+    init = (jnp.zeros_like(D[0]), jnp.zeros_like(B[0]))
+    _, (Cs, ds) = jax.lax.scan(fwd, init, (D, U_prev, U_pad, B))
 
     def bwd(x_next, inp):
         C_t, d_t = inp
         x_t = d_t - C_t @ x_next
         return x_t, x_t
 
-    _, xs_rev = jax.lax.scan(bwd, jnp.zeros_like(b[0]), (Cs, ds),
+    _, xs_rev = jax.lax.scan(bwd, jnp.zeros_like(B[0]), (Cs, ds),
                              reverse=True)
     return xs_rev
 
@@ -167,8 +180,34 @@ def _auto_chunks(N: int) -> int:
 
 def block_tridiag_solve_multi(D, U, B):
     """block_tridiag_solve with a matrix RHS: B (N, k, r) -> X (N, k, r)."""
-    return jax.vmap(block_tridiag_solve, in_axes=(None, None, 2),
-                    out_axes=2)(D, U, B)
+    return block_tridiag_solve_blockrhs(D, U, B)
+
+
+def _tridiag_general(Dr, Ur, Lr, br):
+    """General (nonsymmetric) block-tridiagonal Thomas: Lr[c] couples row c
+    to row c-1 (Lr[0] ignored), Ur[c] couples row c to c+1 (Ur[-1] ignored).
+    Dr (C, k, k), br (C, k)."""
+    C, k, _ = Dr.shape
+    Ur_pad = jnp.concatenate([Ur, jnp.zeros((1, k, k), Dr.dtype)], axis=0)
+
+    def fwd(carry, inp):
+        C_prev, d_prev = carry
+        Dt, Lt, Ut, bt = inp
+        denom = Dt - Lt @ C_prev
+        rhs = jnp.concatenate([Ut, (bt - Lt @ d_prev)[:, None]], axis=1)
+        sol = jnp.linalg.solve(denom, rhs)
+        return (sol[:, :k], sol[:, k]), (sol[:, :k], sol[:, k])
+
+    init = (jnp.zeros_like(Dr[0]), jnp.zeros_like(br[0]))
+    _, (Cs, ds) = jax.lax.scan(fwd, init, (Dr, Lr, Ur_pad, br))
+
+    def bwd(x_next, inp):
+        C_t, d_t = inp
+        x_t = d_t - C_t @ x_next
+        return x_t, x_t
+
+    _, xs = jax.lax.scan(bwd, jnp.zeros_like(br[0]), (Cs, ds), reverse=True)
+    return xs
 
 
 def block_tridiag_solve_chunked(D, U, b, num_chunks: int):
@@ -203,38 +242,37 @@ def block_tridiag_solve_chunked(D, U, b, num_chunks: int):
     def local(Dl, Ul, bl, Upl):
         L_first = Upl.T
         U_inner = Ul[:-1]
-        g = block_tridiag_solve(Dl, U_inner, bl)
-        rhs = jnp.zeros((m, k, 2 * k), D.dtype)
-        rhs = rhs.at[0, :, :k].set(L_first)
-        rhs = rhs.at[-1, :, k:].set(Ul[-1])
-        VW = block_tridiag_solve_multi(Dl, U_inner, rhs)
-        return g, VW[..., :k], VW[..., k:]
+        rhs = jnp.zeros((m, k, 1 + 2 * k), D.dtype)
+        rhs = rhs.at[:, :, 0].set(bl)
+        rhs = rhs.at[0, :, 1:1 + k].set(L_first)
+        rhs = rhs.at[-1, :, 1 + k:].set(Ul[-1])
+        sol = block_tridiag_solve_blockrhs(Dl, U_inner, rhs)
+        return sol[..., 0], sol[..., 1:1 + k], sol[..., 1 + k:]
 
     g, V, W = jax.vmap(local)(Dc, Uc, bc, U_prev_last)  # (C, m, ...)
 
-    # reduced block-tridiagonal system in the 2C boundary unknowns
+    # The reduced system in the boundary unknowns y_c = [x_first_c, x_last_c]
+    # is ITSELF block tridiagonal with 2k x 2k blocks over the C chunks
+    # (chunk c couples to c-1 through V and to c+1 through W), so solve it
+    # with a C-step Thomas recursion — a dense 2Ck LU would serialize over
+    # 2Ck pivots and dominate the whole solve.
     C = num_chunks
-    twoC = 2 * C
-    eye = jnp.eye(k, dtype=D.dtype)
-    R = jnp.zeros((twoC, twoC, k, k), D.dtype)
-    idx = jnp.arange(twoC)
-    R = R.at[idx, idx].set(eye)
-    for c in range(C):
-        if c > 0:
-            R = R.at[2 * c, 2 * c - 1].set(V[c, 0])
-            R = R.at[2 * c + 1, 2 * c - 1].set(V[c, -1])
-        if c < C - 1:
-            R = R.at[2 * c, 2 * c + 2].set(W[c, 0])
-            R = R.at[2 * c + 1, 2 * c + 2].set(W[c, -1])
-    rhs = jnp.stack([g[:, 0], g[:, -1]], axis=1).reshape(twoC * k)
-    Rd = R.transpose(0, 2, 1, 3).reshape(twoC * k, twoC * k)
-    y = jnp.linalg.solve(Rd, rhs).reshape(twoC, k)
+    k2 = 2 * k
+    Dr = jnp.broadcast_to(jnp.eye(k2, dtype=D.dtype), (C, k2, k2))
+    Lr = jnp.zeros((C, k2, k2), D.dtype)
+    Lr = Lr.at[:, 0:k, k:].set(V[:, 0])
+    Lr = Lr.at[:, k:, k:].set(V[:, -1])
+    Ur = jnp.zeros((C, k2, k2), D.dtype)
+    Ur = Ur.at[:, 0:k, 0:k].set(W[:, 0])
+    Ur = Ur.at[:, k:, 0:k].set(W[:, -1])
+    br = jnp.concatenate([g[:, 0], g[:, -1]], axis=1)  # (C, 2k)
+    y2 = _tridiag_general(Dr, Ur[:-1], Lr, br)  # (C, 2k)
 
     x_left = jnp.concatenate(
-        [jnp.zeros((1, k), D.dtype), y[1:-1:2]], axis=0
+        [jnp.zeros((1, k), D.dtype), y2[:-1, k:]], axis=0
     )  # last boundary of chunk c-1
     x_right = jnp.concatenate(
-        [y[2::2], jnp.zeros((1, k), D.dtype)], axis=0
+        [y2[1:, 0:k], jnp.zeros((1, k), D.dtype)], axis=0
     )  # first boundary of chunk c+1
     x = g - jnp.einsum("cmij,cj->cmi", V, x_left) - jnp.einsum(
         "cmij,cj->cmi", W, x_right
