@@ -149,3 +149,21 @@ def test_add_proxy_landmarks():
     assert added == 8
     assert (g2.conf[-8:] == 0.75).all()
     assert gt2.landmarks_xyz.shape[0] == len(frames) + 8
+
+
+def test_load_reference_orbit_format():
+    """Read the reference's in-repo GT orbit sample when present
+    (estimation/landmarks/camera_ready/orbit_3hr_skip_fl.txt)."""
+    import os
+
+    import pytest
+
+    path = ("/root/reference/estimation/landmarks/camera_ready/"
+            "orbit_3hr_skip_fl.txt")
+    if not os.path.exists(path):
+        pytest.skip("reference data not mounted")
+    pos_eci = ingest.load_reference_orbit(path)
+    assert pos_eci.shape[1] == 3
+    r = np.linalg.norm(pos_eci, axis=1)
+    # LEO radii in km after the m->km + ECEF->ECI conversion
+    assert 6500 < r.min() and r.max() < 7300

@@ -44,12 +44,21 @@ def cmd_stream(args):
     cfg = StreamingConfig(use_prior=args.use_prior)
     errors, times = [], []
     os.makedirs(args.out, exist_ok=True)
+    from vinsat_tpu.estimation import ingest as _ingest
+
     for fn in sorted(os.listdir(args.data)):
         if not fn.endswith("_all_detections.npy"):
             continue
         sid = fn.split("_")[0]
-        det = np.load(os.path.join(args.data, fn))
-        orbit = np.load(os.path.join(args.data, f"{sid}_orbit_eci_km.npy"))
+        det = _ingest.load_reference_detections(os.path.join(args.data, fn))
+        km_path = os.path.join(args.data, f"{sid}_orbit_eci_km.npy")
+        if os.path.exists(km_path):
+            orbit = np.load(km_path)
+        else:
+            # VINSat-format pose file (ECEF metres + axis vectors)
+            ref_path = os.path.join(args.data,
+                                    f"{sid}_orbit_eci_zyxvecs.npy")
+            orbit = _ingest.load_reference_orbit(ref_path)
         if len(det) == 0:
             continue
         res = stream_orbit(det, orbit, seed=int(sid), cfg=cfg)

@@ -97,6 +97,38 @@ def build_graph(det_rows: np.ndarray, orbit_len: int,
     )
 
 
+def load_reference_orbit(path: str) -> np.ndarray:
+    """Load a VINSat-format orbit pose file -> (T, 3) ECI positions in km.
+
+    Supports both formats the reference consumes:
+      * `*_orbit_*zyxvecs.npy`: rows [pos_ecef_m(3), dir(3), up(3), right(3)]
+        (written by sim/nadir_sim.py:145-150, read at od_pipe.py:238-240);
+      * `orbit_3hr_skip_fl.txt`-style JSON list of the same rows
+        (od_pipe.py:232-233).
+    The ECEF->ECI conversion matches od_pipe.py:240 (GMST at 1 Hz frames).
+    """
+    import json as _json
+
+    import jax.numpy as jnp
+
+    if path.endswith(".npy"):
+        rows = np.load(path, allow_pickle=True)
+    else:
+        with open(path) as f:
+            rows = np.array(_json.load(f))
+    pos_ecef_km = np.asarray(rows, dtype=np.float64)[:, :3] / 1000.0
+    t = np.arange(pos_ecef_km.shape[0])
+    return np.asarray(jframes.ecef_to_eci(jnp.asarray(pos_ecef_km),
+                                          jnp.asarray(t)))
+
+
+def load_reference_detections(path: str) -> np.ndarray:
+    """Load a VINSat `*_all_detections.npy` file: rows
+    [frame, lon, lat, xc, yc, conf] (sim/nadir_sim.py:236,256)."""
+    rows = np.load(path, allow_pickle=True)
+    return np.asarray(rows, dtype=np.float64).reshape(-1, 6)
+
+
 class GroundTruth(NamedTuple):
     pos_eci: np.ndarray  # (N, 3) km at knots
     vel_eci: np.ndarray  # (N, 3) km/s at knots (finite-difference)
