@@ -195,6 +195,8 @@ def _configure_jax():
     os.makedirs(cache, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    if os.environ.get("VINSAT_DEBUG_NANS") == "1":
+        jax.config.update("jax_debug_nans", True)
 
 
 def main(argv=None):
