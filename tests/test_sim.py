@@ -199,3 +199,28 @@ def test_detection_noise_statistics():
     # mean |N(0,4)| = 4*sqrt(2/pi) ~ 3.2 px; generous bounds
     assert 1.0 < stats["mean_x"] < 6.0
     assert stats["mean_x"] < 10.0  # detector acceptance bound
+
+
+def test_detection_pallas_gate_matches_default():
+    """The Pallas visibility-gate path produces identical detections
+    (interpret-mode kernel on CPU)."""
+    traj = _equator_trajectory()
+    db = lm_mod.synthesize(jax.random.PRNGKey(0), regions=["10S"],
+                           per_region=300, best_fraction=0.5)
+    from vinsat_tpu.kernels import matching as _m
+    import functools
+    # force interpret mode on CPU via monkeypatched call
+    orig = _m.visible_count
+    _m.visible_count = functools.partial(orig, interpret=True)
+    try:
+        d_pallas = det_mod.generate_detections(
+            jax.random.PRNGKey(1), traj, db, noise_px=0.0, max_dets=6,
+            use_pallas_gate=True)
+    finally:
+        _m.visible_count = orig
+    d_ref = det_mod.generate_detections(
+        jax.random.PRNGKey(1), traj, db, noise_px=0.0, max_dets=6)
+    np.testing.assert_array_equal(np.asarray(d_pallas.frame_visible),
+                                  np.asarray(d_ref.frame_visible))
+    np.testing.assert_array_equal(np.asarray(d_pallas.valid),
+                                  np.asarray(d_ref.valid))

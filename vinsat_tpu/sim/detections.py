@@ -45,14 +45,29 @@ class FrameDetections(NamedTuple):
     frame_visible: jnp.ndarray  # (T,) imaging gate passed
 
 
-def _project_frame(cam: cam_mod.CameraModel, db: lm_mod.LandmarkDB,
-                   pos_ecef_m, t, active_mask, min_visible: int):
-    """Project all landmarks for one frame; returns per-landmark mask + uv."""
+def _frame_gate(cam: cam_mod.CameraModel, db: lm_mod.LandmarkDB,
+                pos_ecef_m, active_mask, min_visible: int,
+                use_pallas: bool = False):
+    """Imaging gate for a batch of frames: footprint bounds + >=min_visible
+    accepted landmarks (SatCam.py:249-262).  With use_pallas the count runs
+    through the tiled Pallas kernel (kernels/matching.py)."""
     pose = cam_mod.CameraPose.nadir(pos_ecef_m)
     bounds, all_hit = cam_mod.footprint_bounds(cam, pose)
-    n_best = lm_mod.visible_best_count(db, bounds, active_mask)
-    gate = all_hit & (n_best >= min_visible)
+    if use_pallas:
+        from vinsat_tpu.kernels import matching
 
+        best = (db.best & active_mask[db.region]).astype(jnp.float32)
+        nan_safe = jnp.where(jnp.isnan(bounds), -1e9, bounds)
+        n_best = matching.visible_count(nan_safe, db.lon, db.lat, best)
+    else:
+        n_best = lm_mod.visible_best_count(db, bounds, active_mask)
+    return all_hit & (n_best >= min_visible)
+
+
+def _project_frame(cam: cam_mod.CameraModel, db: lm_mod.LandmarkDB,
+                   pos_ecef_m, gate, active_mask):
+    """Project all landmarks for one (gated) frame; per-landmark mask + uv."""
+    pose = cam_mod.CameraPose.nadir(pos_ecef_m)
     uv, z = cam_mod.lonlat_to_pixel(cam, pose, db.lon, db.lat)
     in_view = (
         (z > 0)
@@ -61,7 +76,7 @@ def _project_frame(cam: cam_mod.CameraModel, db: lm_mod.LandmarkDB,
         & db.best
         & active_mask[db.region]
     )
-    return gate, in_view & gate, uv
+    return in_view & gate, uv
 
 
 def generate_detections(key, traj: Trajectory, db: lm_mod.LandmarkDB,
@@ -71,7 +86,8 @@ def generate_detections(key, traj: Trajectory, db: lm_mod.LandmarkDB,
                         min_visible: int = 3, max_dets: int = 8,
                         frame_stride: int = 1,
                         detector_fn: Optional[Callable] = None,
-                        region_mask=None) -> FrameDetections:
+                        region_mask=None,
+                        use_pallas_gate: bool = False) -> FrameDetections:
     """Simulate the detection stream for a trajectory.
 
     detector_fn, if given, maps (uv_true, key) -> (uv_noisy, conf) and
@@ -92,23 +108,25 @@ def generate_detections(key, traj: Trajectory, db: lm_mod.LandmarkDB,
     # default noise model: one fully-jitted call (remote-TPU friendly)
     return _generate_detections_jit(
         key, traj.pos_ecef, db, active, cam, noise_px, conf_low, conf_high,
-        min_visible, max_dets, frame_stride,
+        min_visible, max_dets, frame_stride, None, use_pallas_gate,
     )
 
 
 def _generate_detections_impl(key, pos_ecef_km, db, active, cam, noise_px,
                               conf_low, conf_high, min_visible: int,
                               max_dets: int, frame_stride: int,
-                              detector_fn=None) -> FrameDetections:
+                              detector_fn=None,
+                              use_pallas_gate: bool = False) -> FrameDetections:
     pos_ecef_m = pos_ecef_km * 1000.0
     T = pos_ecef_m.shape[0]
     frames_idx = jnp.arange(0, T, frame_stride)
     pos_sel = pos_ecef_m[frames_idx]
 
-    def one_frame(p, t):
-        return _project_frame(cam, db, p, t, active, min_visible)
-
-    gate, mask, uv_all = jax.vmap(one_frame)(pos_sel, frames_idx)
+    gate = _frame_gate(cam, db, pos_sel, active, min_visible,
+                       use_pallas=use_pallas_gate)
+    mask, uv_all = jax.vmap(
+        lambda p, g: _project_frame(cam, db, p, g, active)
+    )(pos_sel, gate)
 
     # Select up to max_dets in-view landmarks per frame, prioritizing by a
     # fixed pseudo-random score so the subset is stable and spread out.
@@ -140,7 +158,8 @@ def _generate_detections_impl(key, pos_ecef_km, db, active, cam, noise_px,
 
 _generate_detections_jit = jax.jit(
     _generate_detections_impl,
-    static_argnames=("cam", "min_visible", "max_dets", "frame_stride"),
+    static_argnames=("cam", "min_visible", "max_dets", "frame_stride",
+                     "detector_fn", "use_pallas_gate"),
 )
 
 
