@@ -64,7 +64,11 @@ def cmd_stream(args):
         res = stream_orbit(det, orbit, seed=int(sid), cfg=cfg)
         errors.append(res.errors)
         times.append(res.times)
-        print(f"{sid}: min err {res.errors.min():.2f} km", file=sys.stderr)
+        if len(res.errors):
+            print(f"{sid}: min err {res.errors.min():.2f} km",
+                  file=sys.stderr)
+        else:
+            print(f"{sid}: no observations survived gating", file=sys.stderr)
     np.save(os.path.join(args.out, "errors.npy"),
             np.array(errors, dtype=object), allow_pickle=True)
     np.save(os.path.join(args.out, "times.npy"),

@@ -156,3 +156,8 @@ class PipelineConfig:
 
 
 DEFAULT_CONFIG = PipelineConfig()
+
+# The reference camera's intrinsics (fx, fy, cx, cy) — equals
+# CameraConfig().intrinsics and row 0 of estimation/landmarks/intrinsics.csv.
+# Import this instead of re-typing the literal.
+REFERENCE_INTRINSICS = tuple(CameraConfig().intrinsics)

@@ -183,7 +183,7 @@ def propagate_gaps(pos, vel, gaps, num_hops: int = 16, max_substep: float = 100.
     hs = _hop_sizes(gaps, num_hops, max_substep, x.dtype)
 
     def body(x, h):
-        xn = rk4_step(x, h[:, None])
+        xn = rk4_step(x, h[:, None], textbook_j2)
         xn = jnp.where(h[:, None] > 0, xn, x)
         return xn, None
 
@@ -204,12 +204,15 @@ def propagate_gaps_with_jacobian(pos, vel, gaps, num_hops: int = 16,
     N = x.shape[0]
     hs = _hop_sizes(gaps, num_hops, max_substep, x.dtype)
 
-    step_jac = jax.vmap(jax.jacfwd(lambda xx, hh: rk4_step(xx, hh)), in_axes=(0, 0))
+    step_jac = jax.vmap(
+        jax.jacfwd(lambda xx, hh: rk4_step(xx, hh, textbook_j2)),
+        in_axes=(0, 0),
+    )
 
     def body(carry, h):
         x, J = carry
         A = step_jac(x, h)  # (N, 6, 6)
-        xn = rk4_step(x, h[:, None])
+        xn = rk4_step(x, h[:, None], textbook_j2)
         Jn = jnp.einsum("nij,njk->nik", A, J)
         active = (h > 0)[:, None]
         xn = jnp.where(active, xn, x)

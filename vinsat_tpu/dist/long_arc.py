@@ -30,7 +30,8 @@ def build_sharded_problem(seq, n_arc: int, max_dets_per_knot: int = 4,
                           noise_ori_rad: float = 0.2,
                           noise_vel_rel: float = 0.1,
                           dtype=jnp.float32, seed: int = 0):
-    """Simulated sequence -> (states0, ShardedProblem, gt_states, knot_t).
+    """Simulated sequence -> (ShardedProblem, gt_states, knot_times,
+    n_real).  Initial (noised) states live in prob.states.
 
     Knots are padded to a multiple of n_arc; observations are re-bucketed to
     a fixed per-knot budget (the scatter-free layout of dist/sharded_ba).
@@ -41,7 +42,9 @@ def build_sharded_problem(seq, n_arc: int, max_dets_per_knot: int = 4,
     T = seq.orbit_pos_eci_km.shape[0]
     graph = ingest.build_graph(seq.det_rows, T)
     gt = ingest.process_ground_truths(seq.orbit_pos_eci_km, graph)
-    intr = np.array([3547.8512126219637, 3547.8512126219637, 2304.0, 1296.0])
+    from vinsat_tpu.config import REFERENCE_INTRINSICS
+
+    intr = np.array(REFERENCE_INTRINSICS)
     uv_proj = np.asarray(factors.project_landmarks(
         jnp.asarray(gt.states), jnp.asarray(gt.landmarks_xyz),
         jnp.asarray(graph.ii), jnp.asarray(intr)))

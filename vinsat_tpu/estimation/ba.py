@@ -416,28 +416,30 @@ def ba_iteration(sched_iter, states, prob: BAProblem, lamda_init,
         return retract(dpose)
 
     def cond(carry):
-        lamda, done, _, _ = carry
+        lamda, done, _, _, _ = carry
         return jnp.logical_and(jnp.logical_not(done),
                                lamda <= params.lambda_max)
 
     def body(carry):
-        lamda, _, _, _ = carry
+        lamda, _, _, _, _ = carry
         states_new = solve_with(lamda)
         trial = trial_residual(states_new)
         accepted = trial < init_residual
-        return (lamda * params.lambda_growth, accepted, states_new, lamda)
+        return (lamda * params.lambda_growth, accepted, states_new, lamda,
+                trial)
 
     lamda0 = jnp.asarray(lamda_init, dtype=dtype)
     # run at least one trial
-    first = body((lamda0, jnp.asarray(False), states, lamda0))
-    lamda_f, done, states_new, lamda_used = jax.lax.while_loop(
+    first = body((lamda0, jnp.asarray(False), states, lamda0, lamda0))
+    lamda_f, done, states_new, lamda_used, trial_res = jax.lax.while_loop(
         cond, body, first
     )
 
     lamda_init_new = jnp.maximum(jnp.minimum(1e-1, lamda_f * 0.01), 1e-4)
     last_hessian = D[-1] + lamda_used * eye
-    mean_res = trial_residual(states_new)
-    return BAStep(states_new, lamda_init_new, last_hessian, mean_res)
+    # the accepted trial's residual (already computed in-loop) is the
+    # diagnostic — recomputing it would cost a full extra factor evaluation
+    return BAStep(states_new, lamda_init_new, last_hessian, trial_res)
 
 
 class PriorState(NamedTuple):
@@ -618,23 +620,22 @@ def ba_reg_iteration(sched_iter, states, prob: BAProblem, prior, lamda_init,
         return retract(dpose)
 
     def cond(carry):
-        lamda, done, _, _ = carry
+        lamda, done, _, _, _ = carry
         return jnp.logical_and(jnp.logical_not(done),
                                lamda <= params.lambda_max)
 
     def body(carry):
-        lamda, _, _, _ = carry
+        lamda, _, _, _, _ = carry
         states_new = solve_with(lamda)
         trial = trial_residual(states_new)
         return (lamda * params.lambda_growth, trial < init_residual,
-                states_new, lamda)
+                states_new, lamda, trial)
 
     lamda0 = jnp.asarray(lamda_init, dtype=dtype)
-    first = body((lamda0, jnp.asarray(False), states, lamda0))
-    lamda_f, done, states_new, lamda_used = jax.lax.while_loop(
+    first = body((lamda0, jnp.asarray(False), states, lamda0, lamda0))
+    lamda_f, done, states_new, lamda_used, trial_res = jax.lax.while_loop(
         cond, body, first
     )
     lamda_init_new = jnp.maximum(jnp.minimum(1e-1, lamda_f * 0.01), 1e-4)
     last_hessian = D[-1] + lamda_used * eye
-    mean_res = trial_residual(states_new)
-    return BAStep(states_new, lamda_init_new, last_hessian, mean_res)
+    return BAStep(states_new, lamda_init_new, last_hessian, trial_res)

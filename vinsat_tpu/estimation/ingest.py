@@ -279,8 +279,9 @@ def split_windows(ii: np.ndarray, time_idx: np.ndarray,
     """Sequence of (t_final, i_final, seq_end) window ends
     (identify_next_batch_new, od_pipe.py:898-905).
 
-    The contiguous counter accumulates across the scan exactly as in the
-    reference (it is not reset at window starts).
+    The contiguous counter resets at each window start, matching the
+    reference (identify_next_batch_new is called freshly per window,
+    od_pipe.py:899).
     """
     if use_native:
         try:

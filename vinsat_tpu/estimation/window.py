@@ -23,23 +23,26 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from vinsat_tpu.config import REFERENCE_INTRINSICS
 from vinsat_tpu.core import dynamics, quat
 from vinsat_tpu.estimation import ba, factors, ingest
 
 
 def bucket(n: int, step: int = 16, minimum: int = 16) -> int:
-    """Quarter-geometric bucket >= max(n, minimum): the next multiple of
-    2^floor(log2(n))/4.
+    """Quarter-geometric bucket >= max(n, minimum, step): the next multiple
+    of max(step, 2^floor(log2(n))/4).
 
     Growing-prefix windows would otherwise produce a new padded shape (and a
     fresh XLA compile) per window; geometric bucket growth caps the number
     of distinct compiled shapes at ~4*log2(N_total) while wasting at most
     25% padding (a pure power-of-two bucket can waste ~2x scan length,
     which dominates compile AND run time for the sequential block solve).
+    `step` sets the minimum padding quantum (the knot_bucket/obs_bucket
+    config knobs).
     """
-    m = max(minimum, n)
+    m = max(minimum, step, n)
     p = 1 << (m - 1).bit_length()  # next pow2 >= m
-    q = max(minimum, p // 8)  # quarter of previous pow2 tier
+    q = max(minimum, step, p // 8)  # quarter of previous pow2 tier
     return ((m + q - 1) // q) * q
 
 
@@ -171,7 +174,8 @@ class StreamingConfig(NamedTuple):
 
 
 def _pad_problem(states, gaps, cum_rot, lm_xyz, lm_uv, conf, ii,
-                 n_pad: int, m_pad: int, dtype) -> Tuple[jnp.ndarray, ba.BAProblem]:
+                 n_pad: int, m_pad: int, dtype,
+                 intrinsics=None) -> Tuple[jnp.ndarray, ba.BAProblem]:
     n = states.shape[0]
     m = lm_uv.shape[0]
     st = np.zeros((n_pad, 10))
@@ -208,8 +212,8 @@ def _pad_problem(states, gaps, cum_rot, lm_xyz, lm_uv, conf, ii,
         knot_valid=jnp.asarray(kv, jd),
         pair_valid=jnp.asarray(pv, jd),
         intrinsics=jnp.asarray(
-            np.array([3547.8512126219637, 3547.8512126219637, 2304.0, 1296.0]),
-            jd,
+            np.array(REFERENCE_INTRINSICS if intrinsics is None
+                     else intrinsics), jd,
         ),
     )
     return jnp.asarray(st, jd), prob
@@ -240,7 +244,7 @@ def stream_orbit(det_rows: np.ndarray, orbit_pos_eci_km: np.ndarray,
     # gate on GT reprojection (od_pipe.py:929-930)
     intr = jnp.asarray(
         intrinsics if intrinsics is not None
-        else np.array([3547.8512126219637, 3547.8512126219637, 2304.0, 1296.0])
+        else np.array(REFERENCE_INTRINSICS)
     )
     uv_proj = np.asarray(
         factors.project_landmarks(
@@ -350,6 +354,7 @@ def stream_orbit(det_rows: np.ndarray, orbit_pos_eci_km: np.ndarray,
             window_states, gaps[:t_final], cum_rot[:t_final],
             gt.landmarks_xyz[:i_final], graph.uv[:i_final],
             graph.conf[:i_final], graph.ii[:i_final], n_pad, m_pad, dtype,
+            intrinsics=np.asarray(intr),
         )
         init_iters = cfg.init_iters if w == 0 else 0
         # each window starts its lambda schedule fresh from lambda_init

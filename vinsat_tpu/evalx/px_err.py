@@ -85,7 +85,9 @@ def best_conf_maximize_classes(err: np.ndarray, px_threshold: float = 10.0,
         stats = np.array([class_stats(sel, c, conf) for c in classes])
         stats = stats[stats[:, 0].argsort()]
         with np.errstate(invalid="ignore"):
-            choose = stats[stats[:, 1] < px_threshold]
+            # column 2 = median error, matching the reference
+            # (eval_landmarks.py:281 indexes class_stats[:, 2])
+            choose = stats[stats[:, 2] < px_threshold]
         if len(choose) > best_n:
             best_n, best_conf, out = len(choose), float(conf), choose
     return out, best_conf
@@ -98,6 +100,7 @@ def summarize_detector(err: np.ndarray, px_threshold: float = 10.0
         "best_conf": best_conf,
         "num_accepted_classes": 0 if classes is None else len(classes),
         "mean_accepted_err": (
-            float("nan") if classes is None else float(np.nanmean(classes[:, 1]))
+            float("nan") if classes is None
+            else float(np.nanmean(classes[:, 2]))
         ),
     }

@@ -16,7 +16,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from vinsat_tpu.config import PipelineConfig, DEFAULT_CONFIG
+from vinsat_tpu.config import (DEFAULT_CONFIG, PipelineConfig,
+                               REFERENCE_INTRINSICS)
 from vinsat_tpu.estimation import ba, factors, ingest
 from vinsat_tpu.estimation.window import (StreamingConfig, StreamingResult,
                                           stream_orbit)
@@ -151,8 +152,7 @@ def run_constellation(seeds: List[int], duration_s: int = 3600,
             continue
         graph = ingest.build_graph(seq.det_rows, duration_s)
         gt = ingest.process_ground_truths(seq.orbit_pos_eci_km, graph)
-        intr = jnp.asarray([3547.8512126219637, 3547.8512126219637, 2304.0,
-                            1296.0])
+        intr = jnp.asarray(np.array(REFERENCE_INTRINSICS))
         uv_proj = np.asarray(factors.project_landmarks(
             jnp.asarray(gt.states), jnp.asarray(gt.landmarks_xyz),
             jnp.asarray(graph.ii), intr))
@@ -234,7 +234,7 @@ def run_full_batch(seq: SimulatedSequence, seed: int = 0,
     T = orbit.shape[0]
     graph = ingest.build_graph(seq.det_rows, T)
     gt = ingest.process_ground_truths(orbit, graph)
-    intr = jnp.asarray([3547.8512126219637, 3547.8512126219637, 2304.0, 1296.0])
+    intr = jnp.asarray(np.array(REFERENCE_INTRINSICS))
     uv_proj = np.asarray(
         factors.project_landmarks(
             jnp.asarray(gt.states), jnp.asarray(gt.landmarks_xyz),

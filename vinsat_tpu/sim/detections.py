@@ -104,6 +104,7 @@ def generate_detections(key, traj: Trajectory, db: lm_mod.LandmarkDB,
         return _generate_detections_impl(
             key, traj.pos_ecef, db, active, cam, noise_px, conf_low,
             conf_high, min_visible, max_dets, frame_stride, detector_fn,
+            use_pallas_gate,
         )
     # default noise model: one fully-jitted call (remote-TPU friendly)
     return _generate_detections_jit(
