@@ -105,6 +105,86 @@ def simulate_sequence(seed: int, duration_s: int = 10800,
     return SimulatedSequence(rows, np.asarray(traj.pos_eci), traj, db)
 
 
+def simulate_sequence_imagery(seed: int, duration_s: int = 600,
+                              frame_stride: int = 30,
+                              num_landmarks: int = 60,
+                              deg_per_px: float = 0.01,
+                              conf_threshold: float = 0.55,
+                              amplitude: float = 1.5) -> SimulatedSequence:
+    """Detection-sequence generation through the FULL imagery path: render a
+    synthetic region raster, crop per-frame footprint windows via the raster
+    server, run the template detector, and map image-space detections back
+    to the reference's global row contract (run_sim with rasters+detector,
+    sim/nadir_sim.py:138-265).
+    """
+    import jax.numpy as jnp
+
+    from vinsat_tpu.core import frames as fr
+    from vinsat_tpu.sim import camera as cam_mod
+    from vinsat_tpu.sim import imagery
+    from vinsat_tpu.sim.detector import run_image_detector
+    from vinsat_tpu.tools.raster import Affine, RasterImageServer
+
+    key = jax.random.PRNGKey(seed)
+    k_traj, k_lm, k_tmpl, k_img = jax.random.split(key, 4)
+    traj = orbits.generate_trajectory(k_traj, duration_s=duration_s)
+    db = track_landmark_db(traj, k_lm, every_s=max(duration_s //
+                                                  max(num_landmarks // 3, 1), 1),
+                           per_point=3, spread_deg=0.8)
+    lon = np.asarray(db.lon)[:num_landmarks]
+    lat = np.asarray(db.lat)[:num_landmarks]
+    K = len(lon)
+
+    # one equirectangular raster covering the landmark bbox
+    lon0, lon1 = lon.min() - 1.0, lon.max() + 1.0
+    lat0, lat1 = lat.min() - 1.0, lat.max() + 1.0
+    W = int((lon1 - lon0) / deg_per_px)
+    H = int((lat1 - lat0) / deg_per_px)
+    t = Affine(deg_per_px, 0.0, lon0, 0.0, -deg_per_px, lat1)
+    cols, rows_px = t.world_to_pixel(lon, lat)
+    templates = imagery.make_landmark_templates(k_tmpl, K, size=12)
+    img = imagery.render_region_image(
+        k_img, H, W, templates,
+        jnp.asarray(np.stack([cols, rows_px], 1)), amplitude=amplitude,
+    )
+    img8 = np.asarray(jnp.clip(
+        (img - img.min()) / (img.max() - img.min()) * 255, 0, 255
+    )).astype(np.uint8)[..., None].repeat(3, -1)
+    srv = RasterImageServer()
+    srv.register("TRK", img8, t)
+    detector = imagery.TemplateDetector(templates)
+
+    cam = cam_mod.CameraModel.from_hfov()
+    pos_ecef_m = np.asarray(traj.pos_ecef) * 1000.0
+    det_rows = []
+    cls_lonlat = {k: (float(lon[k]), float(lat[k])) for k in range(K)}
+    for fi in range(0, duration_s + 1, frame_stride):
+        pose = cam_mod.CameraPose.nadir(jnp.asarray(pos_ecef_m[fi]))
+        bounds, ok = cam_mod.footprint_bounds(cam, pose)
+        if not bool(ok):
+            continue
+        b = np.asarray(bounds)
+        win, wt = srv.get_window("TRK", b[0], b[1], b[2], b[3])
+        if win is None or min(win.shape[:2]) < 16:
+            continue
+
+        def to_px(lo, la, pose=pose):
+            uv, z = cam_mod.lonlat_to_pixel(
+                cam, pose, jnp.asarray([lo]), jnp.asarray([la])
+            )
+            return float(uv[0, 0]), float(uv[0, 1])
+
+        rows = run_image_detector(
+            detector, win.mean(axis=-1), wt, to_px,
+            lambda k: cls_lonlat[k], conf_threshold, np.arange(K),
+        )
+        for lon_c, lat_c, u, v, conf in rows:
+            if 0 <= u < cam.width_px and 0 <= v < cam.height_px:
+                det_rows.append([fi, lon_c, lat_c, u, v, conf])
+    det = (np.array(det_rows) if det_rows else np.zeros((0, 6)))
+    return SimulatedSequence(det, np.asarray(traj.pos_eci), traj, db)
+
+
 def run_streaming(seq: SimulatedSequence, seed: int = 0,
                   cfg: StreamingConfig = StreamingConfig()) -> StreamingResult:
     return stream_orbit(seq.det_rows, seq.orbit_pos_eci_km, seed=seed, cfg=cfg)
