@@ -75,3 +75,28 @@ def test_ekf_predict_grows_covariance():
     # state stays on orbit
     r = float(jnp.linalg.norm(out.state[:3]))
     assert 6500 < r < 7300
+
+
+def test_rts_smoother_beats_filter():
+    """Smoothed estimates condition on all observations: accuracy at early
+    knots must improve markedly over the forward filter."""
+    states_gt, gaps, cum_before, lm, uv = _knot_problem(n_knots=14, seed=2)
+    n = states_gt.shape[0]
+    x0 = states_gt[0].copy()
+    x0[:3] += np.array([15.0, -10.0, 8.0])
+    x0[7:] += np.array([0.01, -0.01, 0.005])
+    cov0 = jnp.diag(jnp.array([1e3] * 3 + [1e-2] * 3 + [1e-1] * 3))
+    args = (jnp.array(x0), cov0, jnp.array(gaps), cum_before,
+            jnp.array(lm), jnp.array(uv), jnp.ones((n, uv.shape[1])), INTR)
+    cfg = ekf.EKFConfig(meas_noise_px=3.0)
+    xf, Pf = ekf.run_filter(*args, cfg)
+    xs, Ps = ekf.run_smoother(*args, cfg)
+    ef = np.linalg.norm(np.asarray(xf)[:, :3] - states_gt[:, :3], axis=-1)
+    es = np.linalg.norm(np.asarray(xs)[:, :3] - states_gt[:, :3], axis=-1)
+    # last knot identical (smoother anchor)
+    np.testing.assert_allclose(es[-1], ef[-1], rtol=1e-9)
+    # early knots improve substantially; overall mean improves
+    assert es[: n // 2].mean() < 0.6 * ef[: n // 2].mean(), (
+        f"smoother {es[:n//2].mean():.3f} vs filter {ef[:n//2].mean():.3f}"
+    )
+    assert es.mean() <= ef.mean() * 1.01

@@ -108,24 +108,98 @@ def update(ekf: EKFState, lm_xyz, uv_meas, obs_valid, intrinsics,
 
 def run_filter(state0, cov0, gaps, cum_rots, lm_xyz_per_knot, uv_per_knot,
                obs_valid_per_knot, intrinsics,
-               cfg: EKFConfig = EKFConfig()):
+               cfg: EKFConfig = EKFConfig(), return_predicted: bool = False):
     """Filter over N knots in one lax.scan.
 
     gaps (N,): gap BEFORE each knot (gaps[0]=0); per-knot observation
     buffers are (N, max_obs, ...).  Returns (N, 10) filtered states and
-    (N, 9, 9) covariances.
+    (N, 9, 9) covariances (plus the predicted-state/cov sequences when
+    return_predicted, for the RTS smoother).
     """
 
     def step(carry, inp):
         ekf = carry
         gap, crot, lm, uv, valid = inp
-        ekf = predict(ekf, gap, crot, cfg)
-        ekf = update(ekf, lm, uv, valid, intrinsics, cfg)
-        return ekf, (ekf.state, ekf.cov)
+        pred = predict(ekf, gap, crot, cfg)
+        ekf = update(pred, lm, uv, valid, intrinsics, cfg)
+        return ekf, (ekf.state, ekf.cov, pred.state, pred.cov)
 
     init = EKFState(state0, cov0)
-    _, (states, covs) = jax.lax.scan(
+    _, (states, covs, pstates, pcovs) = jax.lax.scan(
         step, init, (gaps, cum_rots, lm_xyz_per_knot, uv_per_knot,
                      obs_valid_per_knot)
     )
+    if return_predicted:
+        return states, covs, pstates, pcovs
     return states, covs
+
+
+def _transition_F(state, gap, cum_rot, cfg: EKFConfig):
+    """9x9 tangent transition Jacobian of `predict` at `state`."""
+    pos, vel = state[:3], state[7:10]
+    _, _, J = dynamics.propagate_gaps_with_jacobian(
+        pos[None], vel[None], gap[None], num_hops=cfg.num_hops,
+        max_substep=cfg.max_substep,
+    )
+    J6 = J[0]
+    Rc = quat.to_matrix(cum_rot).T
+    F = jnp.zeros((9, 9), state.dtype)
+    F = F.at[0:3, 0:3].set(J6[0:3, 0:3])
+    F = F.at[0:3, 6:9].set(J6[0:3, 3:6])
+    F = F.at[6:9, 0:3].set(J6[3:6, 0:3])
+    F = F.at[6:9, 6:9].set(J6[3:6, 3:6])
+    F = F.at[3:6, 3:6].set(Rc)
+    return F
+
+
+def run_smoother(state0, cov0, gaps, cum_rots, lm_xyz_per_knot, uv_per_knot,
+                 obs_valid_per_knot, intrinsics,
+                 cfg: EKFConfig = EKFConfig()):
+    """Rauch–Tung–Striebel smoother: forward EKF + backward pass.
+
+    Completes the filter family beyond the reference's forward-only
+    machinery: the smoothed estimate conditions every knot on ALL
+    observations (the fixed-interval analog of the batch BA).  Backward
+    recursion in tangent space:
+        G_t = P_t F_{t+1}^T P⁻_{t+1}⁻¹
+        x_s_t = x_t ⊞ G_t (x_s_{t+1} ⊟ x⁻_{t+1})
+        P_s_t = P_t + G_t (P_s_{t+1} - P⁻_{t+1}) G_t^T
+    """
+    states, covs, pstates, pcovs = run_filter(
+        state0, cov0, gaps, cum_rots, lm_xyz_per_knot, uv_per_knot,
+        obs_valid_per_knot, intrinsics, cfg, return_predicted=True,
+    )
+    N = states.shape[0]
+
+    def boxminus(xa, xb):
+        dp = xa[:3] - xb[:3]
+        dv = xa[7:10] - xb[7:10]
+        dq = quat.multiply(quat.conjugate(xb[3:7]), xa[3:7])
+        return jnp.concatenate([dp, quat.log(quat.normalize(dq)), dv])
+
+    def boxplus(x, d):
+        return jnp.concatenate([
+            x[:3] + d[:3],
+            quat.box_plus(x[3:7], d[3:6]),
+            x[7:10] + d[6:9],
+        ])
+
+    def back(carry, inp):
+        xs_next, Ps_next = carry
+        x_t, P_t, xp_next, Pp_next, gap_next, crot_next = inp
+        F = _transition_F(x_t, gap_next, crot_next, cfg)
+        G = P_t @ F.T @ jnp.linalg.inv(Pp_next)
+        d = G @ boxminus(xs_next, xp_next)
+        xs_t = boxplus(x_t, d)
+        Ps_t = P_t + G @ (Ps_next - Pp_next) @ G.T
+        return (xs_t, Ps_t), (xs_t, Ps_t)
+
+    # iterate t = N-2 .. 0; inputs at index t use the t+1 predicted values
+    inputs = (states[:-1], covs[:-1], pstates[1:], pcovs[1:], gaps[1:],
+              cum_rots[1:])
+    (_, _), (xs_rev, Ps_rev) = jax.lax.scan(
+        back, (states[-1], covs[-1]), inputs, reverse=True
+    )
+    xs = jnp.concatenate([xs_rev, states[-1:]], axis=0)
+    Ps = jnp.concatenate([Ps_rev, covs[-1:]], axis=0)
+    return xs, Ps
