@@ -1,0 +1,199 @@
+"""Learned landmark detector: a small flax CNN trained on landmark patch
+appearance, applied convolutionally over raster windows.
+
+This is the trained counterpart of sim/imagery.TemplateDetector and the
+in-framework stand-in for the reference's externally-trained YOLO models
+(sim/nadir_sim.py:94-103; the reference repo itself contains no training
+code — models come from the ultralytics CLI).  Here the full loop lives in
+the framework: generate training patches -> train on device (optax/flax)
+-> detect through the sim/detector.ImageDetector protocol.
+
+Architecture: 2 conv blocks + GAP + dense K-way classifier over SxS
+single-channel patches, with an extra "background" class so non-landmark
+patches are rejected.  Inference slides the classifier over the window at a
+fixed stride (patch extraction + one batched forward pass — MXU work).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+try:
+    import flax.linen as nn
+    import optax
+
+    _HAS_FLAX = True
+except ImportError:  # pragma: no cover
+    _HAS_FLAX = False
+
+
+class PatchCNN(nn.Module if _HAS_FLAX else object):
+    """SxS patch -> (K+1) logits (class K = background)."""
+
+    num_classes: int
+    features: int = 32
+
+    @nn.compact
+    def __call__(self, x):  # x (B, S, S, 1)
+        x = nn.Conv(self.features, (3, 3))(x)
+        x = nn.relu(x)
+        x = nn.Conv(self.features, (3, 3))(x)
+        x = nn.relu(x)
+        x = x.reshape((x.shape[0], -1))  # keep spatial detail (textures)
+        x = nn.Dense(2 * self.features)(x)
+        x = nn.relu(x)
+        return nn.Dense(self.num_classes + 1)(x)
+
+
+def make_training_batch(key, templates, batch: int, noise_sigma: float = 0.15,
+                        amplitude_range=(0.8, 2.0), bg_fraction: float = 0.2,
+                        hard_neg_fraction: float = 0.25):
+    """Augmented patches + labels.
+
+    Positives: scaled noisy templates with +-2 px jitter.  Negatives
+    (labelled K): pure noise AND hard negatives — templates shifted 4-7 px
+    off-centre, teaching the classifier "centred or nothing" so the sliding
+    grid does not fire on partial overlaps far from the true position.
+    """
+    K, S, _ = templates.shape
+    k1, k2, k3, k4, k5, k6, k7 = jax.random.split(key, 7)
+    labels = jax.random.randint(k1, (batch,), 0, K)
+    u = jax.random.uniform(k2, (batch,))
+    is_bg = u < bg_fraction
+    is_hard = (u >= bg_fraction) & (u < bg_fraction + hard_neg_fraction)
+    amp = amplitude_range[0] + (amplitude_range[1] - amplitude_range[0]) * (
+        jax.random.uniform(k3, (batch, 1, 1))
+    )
+    base = templates[labels] * amp
+    small = jax.random.randint(k4, (batch, 2), -2, 3)
+    big_mag = jax.random.randint(k6, (batch, 2), 4, 9)
+    big_sign = jnp.where(jax.random.uniform(k7, (batch, 2)) < 0.5, -1, 1)
+    shift = jnp.where(is_hard[:, None], big_mag * big_sign, small)
+    # TRUE partial-overlap shifts (what a sliding window actually sees):
+    # embed the template in a 2S canvas, then crop an offset S-window —
+    # texture leaves the crop instead of wrapping around
+    canvas = jnp.zeros((batch, 2 * S, 2 * S), base.dtype)
+    canvas = jax.vmap(
+        lambda cv, b: jax.lax.dynamic_update_slice(cv, b, (S // 2, S // 2))
+    )(canvas, base)
+    start = jnp.clip(S // 2 + shift, 0, S)
+    base = jax.vmap(
+        lambda cv, st: jax.lax.dynamic_slice(cv, (st[0], st[1]), (S, S))
+    )(canvas, start)
+    noise = noise_sigma * jax.random.normal(k5, (batch, S, S))
+    patches = jnp.where(is_bg[:, None, None], noise, base + noise)
+    labels = jnp.where(is_bg | is_hard, K, labels)
+    return _normalize_patches(patches)[..., None], labels
+
+
+def _normalize_patches(patches):
+    """Zero-mean unit-norm per patch: makes the classifier invariant to the
+    raster's brightness/contrast, and keeps train and inference statistics
+    identical."""
+    m = patches.mean(axis=(-2, -1), keepdims=True)
+    p = patches - m
+    n = jnp.sqrt(jnp.sum(p * p, axis=(-2, -1), keepdims=True))
+    return p / jnp.maximum(n, 1e-6)
+
+
+class TrainedDetector(NamedTuple):
+    """ImageDetector-protocol wrapper around trained PatchCNN params."""
+
+    params: dict
+    num_classes: int
+    patch_size: int
+    stride: int = 2
+
+    def predict(self, image: np.ndarray, conf_threshold: float,
+                classes: np.ndarray) -> np.ndarray:
+        img = jnp.asarray(image, jnp.float32)
+        if img.ndim == 3:
+            img = img.mean(axis=-1)
+        probs, rows_, cols_ = _detect_grid(
+            self.params, img, self.num_classes, self.patch_size, self.stride
+        )
+        out = []
+        cls_set = set(int(c) for c in np.asarray(classes))
+        for k in range(self.num_classes):
+            p = float(probs[k])
+            if k in cls_set and p > conf_threshold:
+                out.append([k, float(cols_[k]), float(rows_[k]), p])
+        return np.array(out) if out else np.zeros((0, 4))
+
+
+def _extract_patches(img, S: int, stride: int):
+    H, W = img.shape
+    nr = (H - S) // stride + 1
+    nc = (W - S) // stride + 1
+    r0 = jnp.arange(nr) * stride
+    c0 = jnp.arange(nc) * stride
+
+    def get(r, c):
+        return jax.lax.dynamic_slice(img, (r, c), (S, S))
+
+    patches = jax.vmap(lambda r: jax.vmap(lambda c: get(r, c))(c0))(r0)
+    return patches.reshape(nr * nc, S, S), nr, nc
+
+
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("num_classes", "S", "stride"))
+def _detect_grid(params, img, num_classes: int, S: int, stride: int):
+    """Best softmax probability + location per class over the patch grid."""
+    patches, nr, nc = _extract_patches(img, S, stride)
+    patches = _normalize_patches(patches)
+    model = PatchCNN(num_classes=num_classes)
+    logits = model.apply({"params": params}, patches[..., None])
+    full = jax.nn.softmax(logits, axis=-1)  # (P, K+1) incl. background
+    # decision rule: a patch detects class k only if k is the patch's OWN
+    # argmax (background competes); taking a bare max-prob-per-class over
+    # ~10k patches would fire on chance noise peaks
+    cls_hat = jnp.argmax(full, axis=-1)  # (P,)
+    probs = full[:, :num_classes]
+    gated = jnp.where(cls_hat[:, None] == jnp.arange(num_classes)[None],
+                      probs, 0.0)
+    idx = jnp.argmax(gated, axis=0)  # (K,) best owning patch per class
+    best = jnp.take_along_axis(gated, idx[None], axis=0)[0]
+    rows_ = (idx // nc) * stride + S // 2
+    cols_ = (idx % nc) * stride + S // 2
+    return best, rows_.astype(jnp.float32), cols_.astype(jnp.float32)
+
+
+def train_detector(key, templates, steps: int = 600, batch: int = 256,
+                   lr: float = 1e-3, stride: int = 2) -> TrainedDetector:
+    """Train the patch classifier on augmented template patches (on-device
+    optax/adam loop, one jitted step)."""
+    assert _HAS_FLAX, "flax/optax unavailable"
+    K, S, _ = templates.shape
+    model = PatchCNN(num_classes=K)
+    k_init, k_data = jax.random.split(key)
+    params = model.init(k_init, jnp.zeros((1, S, S, 1)))["params"]
+    tx = optax.adam(lr)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state, key):
+        key, kb = jax.random.split(key)
+        x, y = make_training_batch(kb, templates, batch)
+
+        def loss_fn(p):
+            logits = model.apply({"params": p}, x)
+            return optax.softmax_cross_entropy_with_integer_labels(
+                logits, y
+            ).mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, key, loss
+
+    k = k_data
+    loss = jnp.inf
+    for _ in range(steps):
+        params, opt_state, k, loss = step(params, opt_state, k)
+    return TrainedDetector(params=params, num_classes=K, patch_size=S,
+                           stride=stride), float(loss)
