@@ -8,7 +8,7 @@ code — models come from the ultralytics CLI).  Here the full loop lives in
 the framework: generate training patches -> train on device (optax/flax)
 -> detect through the sim/detector.ImageDetector protocol.
 
-Architecture: 2 conv blocks + GAP + dense K-way classifier over SxS
+Architecture: 2 conv blocks + flatten + dense K-way classifier over SxS
 single-channel patches, with an extra "background" class so non-landmark
 patches are rejected.  Inference slides the classifier over the window at a
 fixed stride (patch extraction + one batched forward pass — MXU work).
@@ -48,7 +48,7 @@ class PatchCNN(nn.Module if _HAS_FLAX else object):
         return nn.Dense(self.num_classes + 1)(x)
 
 
-def make_training_batch(key, templates, batch: int, noise_sigma: float = 0.15,
+def make_training_batch(key, templates, batch: int, noise_sigma: float = 0.15,  # noqa: E501
                         amplitude_range=(0.8, 2.0), bg_fraction: float = 0.2,
                         hard_neg_fraction: float = 0.25):
     """Augmented patches + labels.
@@ -163,10 +163,17 @@ def _detect_grid(params, img, num_classes: int, S: int, stride: int):
     return best, rows_.astype(jnp.float32), cols_.astype(jnp.float32)
 
 
-def train_detector(key, templates, steps: int = 600, batch: int = 256,
-                   lr: float = 1e-3, stride: int = 2) -> TrainedDetector:
+def train_detector(key, templates, steps: int = 3000, batch: int = 256,
+                   lr: float = 2e-3, stride: int = 2,
+                   noise_sigma: float = 0.15) -> TrainedDetector:
     """Train the patch classifier on augmented template patches (on-device
-    optax/adam loop, one jitted step)."""
+    optax/adam loop, one jitted step).
+
+    At the default raster SNR (unit-norm templates, amplitude ~1.5, pixel
+    noise 0.15) the task is matched-filter hard; ~3000 steps reach <3 px
+    localization for every class (validated in tests at an easier SNR for
+    runtime).
+    """
     assert _HAS_FLAX, "flax/optax unavailable"
     K, S, _ = templates.shape
     model = PatchCNN(num_classes=K)
@@ -178,7 +185,8 @@ def train_detector(key, templates, steps: int = 600, batch: int = 256,
     @jax.jit
     def step(params, opt_state, key):
         key, kb = jax.random.split(key)
-        x, y = make_training_batch(kb, templates, batch)
+        x, y = make_training_batch(kb, templates, batch,
+                                   noise_sigma=noise_sigma)
 
         def loss_fn(p):
             logits = model.apply({"params": p}, x)
