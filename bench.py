@@ -94,7 +94,8 @@ def main():
     iters = 10
 
     def run_ours():
-        out, _, _ = solve_window(st0, prob, 1e-4, jnp.asarray(0), iters, params)
+        out, _, _, _ = solve_window(st0, prob, 1e-4, jnp.asarray(0), iters,
+                                    params)
         jax.block_until_ready(out)
 
     run_ours()  # compile

@@ -224,3 +224,68 @@ def test_detection_pallas_gate_matches_default():
                                   np.asarray(d_ref.frame_visible))
     np.testing.assert_array_equal(np.asarray(d_pallas.valid),
                                   np.asarray(d_ref.valid))
+
+
+def _wrap_deg(x):
+    return (np.asarray(x) + 180.0) % 360.0 - 180.0
+
+
+def test_footprint_bounds_antimeridian_wrap():
+    """A footprint straddling ±180° must produce a contiguous wrapped box
+    (SatCam.py:218-219), not a near-global [-179, +179] one."""
+    pos_km = frames.geodetic_to_ecef(jnp.asarray(0.0), jnp.asarray(180.0))
+    pos_km = pos_km * (1 + 550.0 / 6371.0)
+    pose = cam_mod.CameraPose.nadir(pos_km * 1000.0)
+    cam = cam_mod.CameraModel.from_hfov()
+    bounds, ok = cam_mod.footprint_bounds(cam, pose)
+    assert bool(ok)
+    b = np.asarray(bounds)
+    # wrapped representation: box is narrow and lon_max exceeds 180
+    assert (b[2] - b[0]) < 20.0
+    assert b[2] > 180.0 >= b[0]
+
+    # gate count must match a brute-force angular-membership oracle
+    rng = np.random.default_rng(0)
+    lon = rng.uniform(-180.0, 180.0, 512)
+    lat = rng.uniform(-5.0, 5.0, 512)
+    db = lm_mod.LandmarkDB(
+        lon=jnp.asarray(lon), lat=jnp.asarray(lat),
+        bbox=jnp.zeros((512, 4)), region=jnp.zeros(512, jnp.int32),
+        cls=jnp.arange(512, dtype=jnp.int32), best=jnp.ones(512, bool),
+        saliency=jnp.ones(512),
+    )
+    got = int(lm_mod.visible_best_count(db, bounds))
+    ctr = 0.5 * (b[0] + b[2])
+    half = 0.5 * (b[2] - b[0])
+    oracle = (
+        (np.abs(_wrap_deg(lon - ctr)) < half)
+        & (lat > b[1]) & (lat < b[3])
+    ).sum()
+    assert got == int(oracle)
+    assert got > 0  # landmarks near ±180 are visible
+
+    # the Pallas kernel oracle agrees too
+    from vinsat_tpu.kernels import matching
+    got_k = np.asarray(matching.visible_count_reference(
+        bounds[None], db.lon, db.lat, db.best.astype(jnp.float32)))[0]
+    assert int(got_k) == int(oracle)
+    got_p = np.asarray(matching.visible_count(
+        jnp.asarray(bounds[None], jnp.float32), db.lon, db.lat,
+        db.best.astype(jnp.float32), interpret=True))[0]
+    assert int(got_p) == int(oracle)
+
+
+def test_footprint_bounds_unwrapped_unaffected():
+    """Ordinary footprints keep their exact pre-fix bounds semantics."""
+    pos_km = jnp.array([6950.0, 100.0, 300.0])
+    pose = cam_mod.CameraPose.nadir(pos_km * 1000.0)
+    cam = cam_mod.CameraModel.from_hfov()
+    bounds, ok = cam_mod.footprint_bounds(cam, pose)
+    b = np.asarray(bounds)
+    lonlat, hit = cam_mod.footprint_lonlat(cam, pose)
+    ll = np.asarray(lonlat)
+    assert bool(ok)
+    np.testing.assert_allclose(b[0], ll[:, 0].min())
+    np.testing.assert_allclose(b[2], ll[:, 0].max())
+    np.testing.assert_allclose(b[1], ll[:, 1].min())
+    np.testing.assert_allclose(b[3], ll[:, 1].max())

@@ -57,3 +57,68 @@ def test_full_batch_converges(short_seq):
     err = np.linalg.norm(states[:, :3] - gt_states[:, :3], axis=-1)
     # knots inside the detection span should be accurately recovered
     assert np.median(err) < 5.0, f"median err {np.median(err)} km"
+
+
+def _gapped_rows(seq):
+    """Carve a >200 s detection gap into the sequence to force >=2 windows
+    (identify_next_batch_new split rule, od_pipe.py:898-905)."""
+    rows = seq.det_rows
+    keep = (rows[:, 0] < 400) | (rows[:, 0] > 700)
+    return rows[keep]
+
+
+def test_checkpoint_resume_identical(short_seq, tmp_path):
+    """Kill-and-resume: restoring from the window-0 checkpoint reproduces
+    the uninterrupted run's errors exactly (VERDICT weak #4)."""
+    from vinsat_tpu.estimation import ingest
+    from vinsat_tpu.estimation.window import stream_orbit
+
+    rows = _gapped_rows(short_seq)
+    graph = ingest.build_graph(rows, short_seq.orbit_pos_eci_km.shape[0])
+    windows = ingest.split_windows(graph.ii, graph.time_idx)
+    assert len(windows) >= 2, "fixture must produce a multi-window stream"
+
+    ck = str(tmp_path / "ck")
+    full = stream_orbit(rows, short_seq.orbit_pos_eci_km, seed=3,
+                        checkpoint_path=ck)
+    resumed = stream_orbit(rows, short_seq.orbit_pos_eci_km, seed=3,
+                           resume_from=f"{ck}.w0.npz")
+    np.testing.assert_array_equal(full.times, resumed.times)
+    np.testing.assert_allclose(full.errors, resumed.errors, rtol=1e-12)
+    np.testing.assert_allclose(full.final_states, resumed.final_states,
+                               rtol=1e-12)
+
+
+def test_checkpoint_resume_from_final_window(short_seq, tmp_path):
+    """Resuming from the LAST window's checkpoint re-runs only the tail
+    propagation and still matches the uninterrupted run."""
+    from vinsat_tpu.estimation.window import stream_orbit
+
+    rows = _gapped_rows(short_seq)
+    ck = str(tmp_path / "ck")
+    full = stream_orbit(rows, short_seq.orbit_pos_eci_km, seed=3,
+                        checkpoint_path=ck)
+    import glob
+
+    last = sorted(glob.glob(f"{ck}.w*.npz"),
+                  key=lambda p: int(p.split(".w")[-1].split(".")[0]))[-1]
+    resumed = stream_orbit(rows, short_seq.orbit_pos_eci_km, seed=3,
+                           resume_from=last)
+    np.testing.assert_array_equal(full.times, resumed.times)
+    np.testing.assert_allclose(full.errors, resumed.errors, rtol=1e-12)
+
+
+def test_metrics_logs_finite_residual(short_seq, tmp_path):
+    """The per-window mean_residual is plumbed out of the device solve
+    (VERDICT weak #5: it used to log NaN)."""
+    from vinsat_tpu.estimation.window import stream_orbit
+    from vinsat_tpu.utils.metrics import MetricsLogger
+
+    m = MetricsLogger(str(tmp_path / "m.jsonl"))
+    stream_orbit(_gapped_rows(short_seq), short_seq.orbit_pos_eci_km, seed=3,
+                 metrics=m)
+    windows = [r for r in m.records if r["kind"] == "window"]
+    assert len(windows) >= 2
+    for r in windows:
+        assert np.isfinite(r["mean_residual"])
+        assert r["mean_residual"] > 0

@@ -24,6 +24,7 @@ import functools
 from typing import Tuple
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 MU_EARTH = 398600.4418  # km^3/s^2
@@ -32,7 +33,10 @@ J2_UNITLESS = 1.08264e-3
 R_EARTH_KM = 6378.137
 
 # Non-standard J2 weight matrix (orbit_gen.py:134-138)
-_RMAT = jnp.array(
+# numpy (not jnp) so importing this module never initializes the XLA
+# backend (required for jax.distributed.initialize ordering in multi-host
+# workers); jnp ops consume numpy constants transparently under trace
+_RMAT = np.array(
     [
         [6.0, -1.5, -1.5],
         [6.0, -1.5, -1.5],
@@ -44,7 +48,7 @@ _RMAT = jnp.array(
 def orbit_accel_reference(r, mu=MU_EARTH, j2=J2_COEFF):
     """v_dot = -(mu/|r|^3) r + (j2/|r|^7) (RMAT @ r^2) ∘ r  (orbit_gen.py:141)."""
     rn = jnp.linalg.norm(r, axis=-1, keepdims=True)
-    j2_term = (_RMAT.astype(r.dtype) * (r[..., None, :] ** 2)).sum(-1)
+    j2_term = (jnp.asarray(_RMAT, r.dtype) * (r[..., None, :] ** 2)).sum(-1)
     return -(mu / rn**3) * r + (j2 / rn**7) * j2_term * r
 
 
@@ -103,7 +107,7 @@ def rollout_orbit(x0, num_steps: int, h: float, textbook_j2: bool = False):
 
 # 3U CubeSat inertia (orbit_gen.py:155-157): m=4 kg, 0.1x0.1x0.34 m
 _M_SAT = 4.0
-INERTIA_3U = jnp.array(
+INERTIA_3U = np.array(
     [
         (_M_SAT / 12) * (0.1**2 + 0.34**2),
         (_M_SAT / 12) * (0.1**2 + 0.34**2),

@@ -98,13 +98,13 @@ def moon_position(mjd_tt):
 
 
 # Harris-Priester tables (utils.py:229-255)
-HP_H = jnp.array([
+HP_H = np.array([
     100., 120., 130., 140., 150., 160., 170., 180., 190., 200.,
     210., 220., 230., 240., 250., 260., 270., 280., 290., 300.,
     320., 340., 360., 380., 400., 420., 440., 460., 480., 500.,
     520., 540., 560., 580., 600., 620., 640., 660., 680., 700.,
     720., 740., 760., 780., 800., 840., 880., 920., 960., 1000.])
-HP_C_MIN = jnp.array([
+HP_C_MIN = np.array([
     4.974e+05, 2.490e+04, 8.377e+03, 3.899e+03, 2.122e+03, 1.263e+03,
     8.008e+02, 5.283e+02, 3.617e+02, 2.557e+02, 1.839e+02, 1.341e+02,
     9.949e+01, 7.488e+01, 5.709e+01, 4.403e+01, 3.430e+01, 2.697e+01,
@@ -114,7 +114,7 @@ HP_C_MIN = jnp.array([
     4.519e-02, 3.430e-02, 2.632e-02, 2.043e-02, 1.607e-02, 1.281e-02,
     1.036e-02, 8.496e-03, 7.069e-03, 4.680e-03, 3.200e-03, 2.210e-03,
     1.560e-03, 1.150e-03])
-HP_C_MAX = jnp.array([
+HP_C_MAX = np.array([
     4.974e+05, 2.490e+04, 8.710e+03, 4.059e+03, 2.215e+03, 1.344e+03,
     8.758e+02, 6.010e+02, 4.297e+02, 3.162e+02, 2.396e+02, 1.853e+02,
     1.455e+02, 1.157e+02, 9.308e+01, 7.555e+01, 6.182e+01, 5.095e+01,
@@ -167,11 +167,15 @@ def density_harris_priester(r_eci_m, r_sun_m):
     c_psi2 = 0.5 + 0.5 * jnp.sum(r_eci_m * u, -1) / rn
 
     h_clip = jnp.clip(height, 100.0, 999.999)
-    ih = jnp.clip(jnp.searchsorted(HP_H, h_clip) - 1, 0, 48)
-    h_min = (HP_H[ih] - HP_H[ih + 1]) / jnp.log(HP_C_MIN[ih + 1] / HP_C_MIN[ih])
-    h_max = (HP_H[ih] - HP_H[ih + 1]) / jnp.log(HP_C_MAX[ih + 1] / HP_C_MAX[ih])
-    d_min = HP_C_MIN[ih] * jnp.exp((HP_H[ih] - h_clip) / h_min)
-    d_max = HP_C_MAX[ih] * jnp.exp((HP_H[ih] - h_clip) / h_max)
+    # lift the numpy tables to device arrays for traced gather indexing
+    hp_h = jnp.asarray(HP_H)
+    hp_lo = jnp.asarray(HP_C_MIN)
+    hp_hi = jnp.asarray(HP_C_MAX)
+    ih = jnp.clip(jnp.searchsorted(hp_h, h_clip) - 1, 0, 48)
+    h_min = (hp_h[ih] - hp_h[ih + 1]) / jnp.log(hp_lo[ih + 1] / hp_lo[ih])
+    h_max = (hp_h[ih] - hp_h[ih + 1]) / jnp.log(hp_hi[ih + 1] / hp_hi[ih])
+    d_min = hp_lo[ih] * jnp.exp((hp_h[ih] - h_clip) / h_min)
+    d_max = hp_hi[ih] * jnp.exp((hp_h[ih] - h_clip) / h_max)
     density = (d_min + (d_max - d_min) * c_psi2**HP_N_PRM) * 1.0e-12
     in_range = (height >= 100.0) & (height <= 1000.0)
     return jnp.where(in_range, density, 0.0)

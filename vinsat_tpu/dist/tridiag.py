@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from vinsat_tpu.estimation.ba import (block_tridiag_solve,
+from vinsat_tpu.estimation.ba import (_tridiag_general, block_tridiag_solve,
                                       block_tridiag_solve_multi)
 
 
@@ -62,31 +62,32 @@ def _shard_body(nshards: int, axis: str, D_l, U_l, b_l):
     all_bound = jax.lax.all_gather(bound, axis)  # (P, 4, k, k)
     all_g = jax.lax.all_gather(gb, axis)  # (P, 2, k)
 
-    # reduced system in the 2P boundary unknowns (replicated tiny solve)
-    twoP = 2 * nshards
-    R = jnp.zeros((twoP, twoP, k, k), D_l.dtype)
-    eye = jnp.eye(k, dtype=D_l.dtype)
-    for i in range(twoP):
-        R = R.at[i, i].set(eye)
-    for p in range(nshards):
-        Vf, Vl, Wf, Wl = (all_bound[p, 0], all_bound[p, 1],
-                          all_bound[p, 2], all_bound[p, 3])
-        if p > 0:
-            R = R.at[2 * p, 2 * p - 1].set(Vf)
-            R = R.at[2 * p + 1, 2 * p - 1].set(Vl)
-        if p < nshards - 1:
-            R = R.at[2 * p, 2 * p + 2].set(Wf)
-            R = R.at[2 * p + 1, 2 * p + 2].set(Wl)
-    Rd = R.transpose(0, 2, 1, 3).reshape(twoP * k, twoP * k)
-    rhs = all_g.reshape(twoP * k)
-    y = jnp.linalg.solve(Rd, rhs).reshape(twoP, k)
+    # The reduced system in the boundary unknowns y_p = [x_first_p, x_last_p]
+    # is ITSELF block tridiagonal with 2k x 2k blocks over the P shards
+    # (shard p couples to p-1 through V and to p+1 through W), so solve it
+    # with a P-step Thomas recursion — same structure as the single-chip
+    # chunked SPIKE (ba.block_tridiag_solve_chunked); the earlier dense
+    # 2Pk LU serialized over 2P·k pivots and dominated at large P.
+    k2 = 2 * k
+    Vf, Vl = all_bound[:, 0], all_bound[:, 1]  # (P, k, k)
+    Wf, Wl = all_bound[:, 2], all_bound[:, 3]
+    Dr = jnp.broadcast_to(jnp.eye(k2, dtype=D_l.dtype), (nshards, k2, k2))
+    Lr = jnp.zeros((nshards, k2, k2), D_l.dtype)
+    Lr = Lr.at[:, 0:k, k:].set(Vf)
+    Lr = Lr.at[:, k:, k:].set(Vl)
+    Ur = jnp.zeros((nshards, k2, k2), D_l.dtype)
+    Ur = Ur.at[:, 0:k, 0:k].set(Wf)
+    Ur = Ur.at[:, k:, 0:k].set(Wl)
+    br = jnp.concatenate([all_g[:, 0], all_g[:, 1]], axis=1)  # (P, 2k)
+    y2 = _tridiag_general(Dr, Ur[:-1], Lr, br)  # (P, 2k) replicated
 
     # x_left = last-boundary of the left neighbor; x_right = first-boundary
     # of the right neighbor (zeros at the ends)
-    left_idx = jnp.clip(2 * p_idx - 1, 0, twoP - 1)
-    right_idx = jnp.clip(2 * p_idx + 2, 0, twoP - 1)
-    x_left = jnp.where(p_idx > 0, y[left_idx], jnp.zeros(k, D_l.dtype))
-    x_right = jnp.where(p_idx < nshards - 1, y[right_idx],
+    left_idx = jnp.clip(p_idx - 1, 0, nshards - 1)
+    right_idx = jnp.clip(p_idx + 1, 0, nshards - 1)
+    x_left = jnp.where(p_idx > 0, y2[left_idx, k:],
+                       jnp.zeros(k, D_l.dtype))
+    x_right = jnp.where(p_idx < nshards - 1, y2[right_idx, 0:k],
                         jnp.zeros(k, D_l.dtype))
     x = g - jnp.einsum("mij,j->mi", V, x_left) - jnp.einsum(
         "mij,j->mi", W, x_right

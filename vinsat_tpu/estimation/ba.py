@@ -198,7 +198,10 @@ def _tridiag_general(Dr, Ur, Lr, br):
         sol = jnp.linalg.solve(denom, rhs)
         return (sol[:, :k], sol[:, k]), (sol[:, :k], sol[:, k])
 
-    init = (jnp.zeros_like(Dr[0]), jnp.zeros_like(br[0]))
+    # init carry from Lr (not Dr): when this runs inside shard_map the
+    # diagonal may be a broadcast (unvaried) identity while the couplings
+    # vary over the manual axis — the carry must inherit the varying-ness
+    init = (jnp.zeros_like(Lr[0]), jnp.zeros_like(br[0]))
     _, (Cs, ds) = jax.lax.scan(fwd, init, (Dr, Lr, Ur_pad, br))
 
     def bwd(x_next, inp):

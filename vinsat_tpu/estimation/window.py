@@ -46,31 +46,39 @@ def bucket(n: int, step: int = 16, minimum: int = 16) -> int:
     return ((m + q - 1) // q) * q
 
 
-@functools.partial(jax.jit, static_argnames=("num_iters", "params"))
-def solve_window(states0, prob: ba.BAProblem, lamda_init, init_iters,
-                 num_iters: int, params: ba.SolverParams = ba.SolverParams(),
-                 sched_offset=0):
-    """num_iters LM iterations over one (padded) window.
+def _solve_window(states0, prob: ba.BAProblem, lamda_init, init_iters,
+                  num_iters: int, params: ba.SolverParams = ba.SolverParams(),
+                  sched_offset=0):
+    """num_iters LM iterations over one (padded) window (unjitted impl;
+    jitted as `solve_window`, vmapped directly by `solve_window_batch`).
 
     init_iters: number of leading vision-only iterations (od_pipe.py:1038
     uses 10 for the first window, 0 afterwards).  The schedule index passed
     to α/Σ is iteration + sched_offset: 0-based for streaming (BA(iter,...),
     od_pipe.py:1038), -init_iters for the full-batch path (BA(i-10, ...),
     od_pipe.py:377).
+
+    Returns (states, lamda, last_hessian, mean_residual) — the last is the
+    accepted trial residual of the final iteration (the per-window
+    convergence diagnostic logged by metrics).
     """
 
     def body(i, carry):
-        states, lam, last_h = carry
+        states, lam, last_h, _ = carry
         step = ba.ba_iteration(
             i + sched_offset, states, prob, lam, params=params,
             initialize=(i < init_iters),
         )
-        return (step.states, step.lamda_init, step.last_hessian)
+        return (step.states, step.lamda_init, step.last_hessian,
+                step.mean_residual)
 
     init = (states0, jnp.asarray(lamda_init, states0.dtype),
-            jnp.zeros((9, 9), states0.dtype))
-    states, lam, last_h = jax.lax.fori_loop(0, num_iters, body, init)
-    return states, lam, last_h
+            jnp.zeros((9, 9), states0.dtype),
+            jnp.zeros((), states0.dtype))
+    return jax.lax.fori_loop(0, num_iters, body, init)
+
+
+solve_window = jax.jit(_solve_window, static_argnames=("num_iters", "params"))
 
 
 @functools.partial(jax.jit, static_argnames=("num_iters", "params"))
@@ -87,8 +95,8 @@ def solve_window_batch(states0_b, prob_b: ba.BAProblem, lamda_b, init_iters,
     """
 
     def one(states0, prob, lam):
-        return solve_window.__wrapped__(states0, prob, lam, init_iters,
-                                       num_iters, params, sched_offset)
+        return _solve_window(states0, prob, lam, init_iters,
+                             num_iters, params, sched_offset)
 
     in_prob = ba.BAProblem(
         gaps=0, cum_rot=0, landmarks_xyz=0, landmarks_uv=0, conf=0, ii=0,
@@ -106,14 +114,16 @@ def solve_window_reg(states0, prob: ba.BAProblem, prior: ba.PriorState,
     od_pipe.py:893/BA_filtering.py:100-210)."""
 
     def body(i, carry):
-        states, lam, last_h = carry
+        states, lam, last_h, _ = carry
         step = ba.ba_reg_iteration(
             i, states, prob, prior, lam, params=params, initialize=False,
         )
-        return (step.states, step.lamda_init, step.last_hessian)
+        return (step.states, step.lamda_init, step.last_hessian,
+                step.mean_residual)
 
     init = (states0, jnp.asarray(lamda_init, states0.dtype),
-            jnp.zeros((9, 9), states0.dtype))
+            jnp.zeros((9, 9), states0.dtype),
+            jnp.zeros((), states0.dtype))
     return jax.lax.fori_loop(0, num_iters, body, init)
 
 
@@ -223,13 +233,21 @@ def stream_orbit(det_rows: np.ndarray, orbit_pos_eci_km: np.ndarray,
                  seed: int = 0, cfg: StreamingConfig = StreamingConfig(),
                  solver: ba.SolverParams = ba.SolverParams(),
                  intrinsics: Optional[np.ndarray] = None,
-                 metrics=None, checkpoint_path: Optional[str] = None
-                 ) -> StreamingResult:
+                 metrics=None, checkpoint_path: Optional[str] = None,
+                 resume_from: Optional[str] = None) -> StreamingResult:
     """Run streaming OD on one detection sequence.
 
     det_rows: (M, 6) [frame, lon, lat, xc, yc, conf]; orbit_pos_eci_km:
     (T, 3) GT 1 Hz ECI positions in km.  Returns recorded errors/times for
     the time-to-<5km evaluation (od_pipe.py:1061-1062).
+
+    resume_from: path of a per-window checkpoint previously written via
+    `checkpoint_path` (see utils/checkpoint.py).  Windows up to and
+    including the checkpointed one are restored (states, trailing hessian,
+    λ, recorded errors) instead of re-solved; the run continues from the
+    next window and produces results identical to an uninterrupted run
+    (the window split and initial-noise draw are deterministic in
+    det_rows/seed).
     """
     rng = np.random.default_rng(seed)
     dtype = cfg.dtype
@@ -298,7 +316,47 @@ def stream_orbit(det_rows: np.ndarray, orbit_pos_eci_km: np.ndarray,
     max_hops = int(np.ceil(gaps.max() / solver.max_substep)) + 1
     solver = solver._replace(num_hops=max(solver.num_hops, max_hops))
 
+    start_w = 0
+    if resume_from is not None:
+        from vinsat_tpu.utils import checkpoint as ckpt
+
+        ck = ckpt.load(resume_from)
+        start_w = ck["window_idx"] + 1
+        cur_states = ck["states"]
+        last_hessian = ck["last_hessian"]
+        lamda = float(ck["lamda"])
+        errors = [ck["errors"]]
+        times = [ck["times"]]
+        t_prev = len(ck["knot_times"])
+
+    def record_tail(t_init: int):
+        # tail propagation (od_pipe.py:1045-1059)
+        span = int(knot_t[-1] - knot_t[t_init - 1])
+        om = gt.omega_full[knot_t[t_init - 1]:knot_t[-1]]
+        max_len = bucket(span, cfg.prop_bucket, cfg.prop_bucket)
+        om_pad = np.zeros((max_len, 3))
+        om_pad[:om.shape[0]] = om
+        path = np.asarray(
+            propagate_segment(
+                jnp.asarray(cur_states[-1], jnp.dtype(dtype)),
+                jnp.asarray(om_pad, jnp.dtype(dtype)),
+                jnp.asarray(span), max_len,
+            )
+        )
+        new_knots = knot_t[t_init:] - knot_t[t_init - 1]
+        states_prop = path[new_knots]
+        errors.append(np.linalg.norm(
+            states_prop[:, :3] - gt.states[t_init:, :3], axis=-1
+        ))
+        times.append(knot_t[t_init:])
+
     for w, (t_final, i_final, seq_end) in enumerate(windows):
+        if w < start_w:
+            # restored from checkpoint; only the tail propagation of the
+            # final window (recorded AFTER its checkpoint write) remains
+            if seq_end and t_prev < len(knot_t):
+                record_tail(t_prev)
+            continue
         if w == 0:
             window_states = states[:t_final]
         else:
@@ -376,11 +434,11 @@ def stream_orbit(det_rows: np.ndarray, orbit_pos_eci_km: np.ndarray,
                 jnp.asarray(prop_pad, jd), jnp.asarray(Hs_pad, jd),
                 jnp.asarray(Hr_pad, jd), jnp.asarray(val, jd),
             )
-            out_states, lam_new, last_h = solve_window_reg(
+            out_states, lam_new, last_h, mean_res = solve_window_reg(
                 st0, prob, prior, lamda, cfg.num_iters, solver
             )
         else:
-            out_states, lam_new, last_h = solve_window(
+            out_states, lam_new, last_h, mean_res = solve_window(
                 st0, prob, lamda, jnp.asarray(init_iters), cfg.num_iters,
                 solver
             )
@@ -400,7 +458,7 @@ def stream_orbit(det_rows: np.ndarray, orbit_pos_eci_km: np.ndarray,
 
             metrics.log_window(
                 window_idx=w, num_knots=t_final, num_obs=i_final,
-                mean_residual=float("nan"), lamda=lamda,
+                mean_residual=float(mean_res), lamda=lamda,
                 wall_s=_time.time() - getattr(metrics, "_t0", _time.time()),
                 end_error_km=float(end_err[0]),
             )
@@ -416,27 +474,7 @@ def stream_orbit(det_rows: np.ndarray, orbit_pos_eci_km: np.ndarray,
             )
 
         if seq_end and t_final < len(knot_t):
-            # tail propagation (od_pipe.py:1045-1059)
-            t_init = t_final
-            span = int(knot_t[-1] - knot_t[t_init - 1])
-            om = gt.omega_full[knot_t[t_init - 1]:knot_t[-1]]
-            max_len = bucket(span, cfg.prop_bucket, cfg.prop_bucket)
-            om_pad = np.zeros((max_len, 3))
-            om_pad[:om.shape[0]] = om
-            path = np.asarray(
-                propagate_segment(
-                    jnp.asarray(cur_states[-1], jnp.dtype(dtype)),
-                    jnp.asarray(om_pad, jnp.dtype(dtype)),
-                    jnp.asarray(span), max_len,
-                )
-            )
-            new_knots = knot_t[t_init:] - knot_t[t_init - 1]
-            states_prop = path[new_knots]
-            err_prop = np.linalg.norm(
-                states_prop[:, :3] - gt.states[t_init:, :3], axis=-1
-            )
-            errors.append(err_prop)
-            times.append(knot_t[t_init:])
+            record_tail(t_final)
 
     return StreamingResult(
         errors=np.concatenate(errors) if errors else np.array([]),

@@ -30,8 +30,15 @@ def _visible_count_kernel(bounds_ref, lon_ref, lat_ref, best_ref, out_ref):
     lat_min = bounds_ref[:, 1:2]
     lon_max = bounds_ref[:, 2:3]
     lat_max = bounds_ref[:, 3:4]
+    # antimeridian-aware: wrapped boxes carry lon_max > 180 (see
+    # camera.footprint_bounds), so test lon and lon+360 (padding lon=1e9
+    # stays outside either way)
+    lon_l = lon[None, :] + 360.0
+    in_lon = ((lon[None, :] > lon_min) & (lon[None, :] < lon_max)) | (
+        (lon_l > lon_min) & (lon_l < lon_max)
+    )
     inside = (
-        (lon[None, :] > lon_min) & (lon[None, :] < lon_max)
+        in_lon
         & (lat[None, :] > lat_min) & (lat[None, :] < lat_max)
         & (best[None, :] > 0)
     )
@@ -79,9 +86,14 @@ def visible_count(bounds, lon, lat, best, interpret: bool = False):
 
 
 def visible_count_reference(bounds, lon, lat, best):
-    """Pure-jnp oracle (and CPU fallback)."""
-    inside = (
+    """Pure-jnp oracle (and CPU fallback); antimeridian-aware like the
+    kernel."""
+    lon_l = lon[None, :] + 360.0
+    in_lon = (
         (lon[None, :] > bounds[:, 0:1]) & (lon[None, :] < bounds[:, 2:3])
+    ) | ((lon_l > bounds[:, 0:1]) & (lon_l < bounds[:, 2:3]))
+    inside = (
+        in_lon
         & (lat[None, :] > bounds[:, 1:2]) & (lat[None, :] < bounds[:, 3:4])
         & (best[None, :] > 0)
     )

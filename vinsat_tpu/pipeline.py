@@ -274,7 +274,7 @@ def run_constellation(seeds: List[int], duration_s: int = 3600,
     solver = ba.SolverParams(num_hops=int(np.ceil(max_gap / 100.0)) + 1)
 
     t0 = _time.time()
-    out_b, _, _ = solve_window_batch(
+    out_b, _, _, _ = solve_window_batch(
         states_b, prob_b, lamda_b, jnp.asarray(init_iters), num_iters, solver,
         sched_offset=jnp.asarray(-init_iters),
     )
@@ -350,7 +350,7 @@ def run_full_batch(seq: SimulatedSequence, seed: int = 0,
 
     # full batch uses schedule index i - init_iters (BA(i-10, ...),
     # od_pipe.py:377): one jitted fori_loop with a -init_iters offset.
-    states_j, lam, _ = solve_window(
+    states_j, lam, _, _ = solve_window(
         st0, prob, cfg.lambda_init, jnp.asarray(init_iters), num_iters,
         solver, sched_offset=jnp.asarray(-init_iters),
     )

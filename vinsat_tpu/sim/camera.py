@@ -147,18 +147,31 @@ def footprint_lonlat(cam: CameraModel, pose: CameraPose):
 
 
 def footprint_bounds(cam: CameraModel, pose: CameraPose):
-    """(lon_min, lat_min, lon_max, lat_max) of the footprint; NaN-safe.
+    """(lon_min, lat_min, lon_max, lat_max) of the footprint; NaN-safe and
+    antimeridian-aware.
 
     Used for the landmark-visibility gate (SatCam.py:239-247 uses the tl/br
-    corners; here the full min/max box over all valid corners).
+    corners; here the full min/max box over all valid corners).  When the
+    footprint straddles ±180° (naive lon span > 180°, the wrap test of
+    SatCam.py:218-219), negative corner longitudes are lifted by +360 so the
+    box stays contiguous — lon_max may then exceed 180.  Consumers
+    (landmarks.in_bounds_mask, kernels/matching.visible_count) test both
+    lon and lon+360 against the box, which is exact for wrapped and
+    unwrapped boxes alike.
     """
     lonlat, hit = footprint_lonlat(cam, pose)
-    big = jnp.where(hit[..., None], lonlat, -jnp.inf)
-    small = jnp.where(hit[..., None], lonlat, jnp.inf)
-    lon_min = small[..., 0].min(axis=-1)
-    lat_min = small[..., 1].min(axis=-1)
-    lon_max = big[..., 0].max(axis=-1)
-    lat_max = big[..., 1].max(axis=-1)
+    lon = lonlat[..., 0]
+    lat = lonlat[..., 1]
+    lon_lo = jnp.where(hit, lon, jnp.inf).min(axis=-1)
+    lon_hi = jnp.where(hit, lon, -jnp.inf).max(axis=-1)
+    wrap = (lon_hi - lon_lo) > 180.0
+    lon_w = jnp.where(lon < 0, lon + 360.0, lon)
+    lon_lo_w = jnp.where(hit, lon_w, jnp.inf).min(axis=-1)
+    lon_hi_w = jnp.where(hit, lon_w, -jnp.inf).max(axis=-1)
+    lon_min = jnp.where(wrap, lon_lo_w, lon_lo)
+    lon_max = jnp.where(wrap, lon_hi_w, lon_hi)
+    lat_min = jnp.where(hit, lat, jnp.inf).min(axis=-1)
+    lat_max = jnp.where(hit, lat, -jnp.inf).max(axis=-1)
     all_hit = hit.all(axis=-1)
     return jnp.stack([lon_min, lat_min, lon_max, lat_max], axis=-1), all_hit
 

@@ -164,16 +164,21 @@ def in_bounds_mask(db: LandmarkDB, bounds):
     (lon_min, lat_min, lon_max, lat_max), broadcast over leading axes.
 
     Vectorized version of check_for_landmarks_in_region's box test
-    (SatCam.py:243-248).
+    (SatCam.py:243-248).  Antimeridian-aware: camera.footprint_bounds emits
+    wrapped boxes with lon_max > 180 (matching the wrap handling of
+    SatCam.py:218-219), so each landmark is tested at both lon and lon+360;
+    for ordinary boxes (lon_max <= 180) the lifted test can never pass, so
+    this is exact in both regimes.
     """
     lon_min = bounds[..., 0:1]
     lat_min = bounds[..., 1:2]
     lon_max = bounds[..., 2:3]
     lat_max = bounds[..., 3:4]
-    return (
-        (db.lon > lon_min) & (db.lon < lon_max)
-        & (db.lat > lat_min) & (db.lat < lat_max)
+    lon_lift = db.lon + 360.0
+    in_lon = ((db.lon > lon_min) & (db.lon < lon_max)) | (
+        (lon_lift > lon_min) & (lon_lift < lon_max)
     )
+    return in_lon & (db.lat > lat_min) & (db.lat < lat_max)
 
 
 def visible_best_count(db: LandmarkDB, bounds, region_active_mask=None):

@@ -48,7 +48,8 @@ def mgrs_grid() -> Dict[str, Tuple[float, float, float, float]]:
 
 _GRID = mgrs_grid()
 ZONE_LABELS: List[str] = list(_GRID.keys())
-ZONE_BOUNDS = jnp.array([_GRID[k] for k in ZONE_LABELS])  # (Z, 4)
+# numpy constant: importing must not initialize the XLA backend
+ZONE_BOUNDS = np.array([_GRID[k] for k in ZONE_LABELS])  # (Z, 4)
 ZONE_INDEX = {k: i for i, k in enumerate(ZONE_LABELS)}
 
 # The 16 regions with trained detectors in the reference
