@@ -4,12 +4,25 @@
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "frames/s", "vs_baseline": N, ...}
 
-value      = frames/s of the full streaming OD pipeline (10800-frame arc,
-             BASELINE.md sequence spec) on this machine's default JAX device.
+value      = frames/s of the full streaming OD pipeline on a 10800-frame arc
+             (BASELINE.md sequence spec) with the reference's REGION-PASS
+             detection structure: landmarks only under periodic track
+             segments, so the stream has real >200 s detection gaps and the
+             driver runs genuine MULTI-WINDOW streaming (window handoff,
+             inter-window propagation, tail propagation) — the same shape as
+             od_pipe.streaming_version on the ids-92..113 sequences
+             (od_pipe.py:1063-1086).
 vs_baseline = measured per-LM-iteration speedup vs a pure-numpy baseline
              implementing the reference's computational pattern (1 Hz RK4
              loops, finite-difference rollout Jacobians, dense (9N)^3 solve
              — see vinsat_tpu/bench_baseline.py) at the same problem size.
+
+extras: time_to_5km_s (< arc length now that windows are real), final error,
+num_windows, sim throughput measured separately (steady-state, post-compile),
+and per-LM-iteration device times.
+
+Env knobs: BENCH_DURATION_S (default 10800), BENCH_SEED, BENCH_FULL_EVAL=1
+appends the 16-orbit region-based evaluation (slow; for documentation runs).
 """
 import json
 import os
@@ -25,10 +38,22 @@ def log(*a):
 
 def main():
     import jax
+
+    # expose the CPU backend next to the accelerator: GROUND TRUTH MUST BE
+    # SIMULATED IN f64 (f32 RK4 trajectories are dynamically inconsistent at
+    # km level against any estimator — CLAUDE.md invariant); estimation
+    # still runs f32 on the accelerator
+    env_plat = os.environ.get("JAX_PLATFORMS", "")
+    if env_plat and "cpu" not in env_plat:
+        jax.config.update("jax_platforms", env_plat + ",cpu")
+
     import jax.numpy as jnp
 
     platform = jax.devices()[0].platform
     on_tpu = platform not in ("cpu",)
+    # x64 stays on for the whole run on CPU; on TPU it is toggled on ONLY
+    # around the f64 ground-truth simulation (f64 traces cannot lower to
+    # the TPU, and the f32 estimation paths are traced exactly as deployed)
     if not on_tpu:
         jax.config.update("jax_enable_x64", True)
     # f32 solver numerics require true-f32 matmuls (TPU defaults to bf16)
@@ -43,18 +68,48 @@ def main():
     log(f"device: {jax.devices()[0]}, dtype: {dtype}")
 
     from vinsat_tpu import pipeline
+    from vinsat_tpu.estimation import ingest
     from vinsat_tpu.estimation.window import StreamingConfig
     from vinsat_tpu.evalx import ate
 
     duration = int(os.environ.get("BENCH_DURATION_S", 10800))
     seed = int(os.environ.get("BENCH_SEED", 1))
 
+    # ---- simulation: f64 ground truth on the CPU backend ------------------
+    sim_kw = dict(duration_s=duration, along_track=True, frame_stride=5,
+                  pass_every_s=1800, pass_len_s=300)
+    cpu0 = jax.devices("cpu")[0]
     t0 = time.time()
-    seq = pipeline.simulate_sequence(seed, duration_s=duration,
-                                     along_track=True, frame_stride=5)
-    sim_s = time.time() - t0
-    log(f"sim: {sim_s:.1f}s rows={len(seq.det_rows)}")
+    if on_tpu:
+        jax.config.update("jax_enable_x64", True)
+    try:
+        with jax.default_device(cpu0):
+            seq = pipeline.simulate_sequence(seed, **sim_kw)
+    finally:
+        if on_tpu:
+            jax.config.update("jax_enable_x64", False)
+    sim_f64_s = time.time() - t0
+    graph = ingest.build_graph(seq.det_rows, duration)
+    windows = ingest.split_windows(graph.ii, graph.time_idx)
+    log(f"sim(f64 cpu): {sim_f64_s:.1f}s rows={len(seq.det_rows)} "
+        f"windows={len(windows)}")
 
+    # accelerator sim throughput, measured separately (steady-state after
+    # one compile; f32 device rollout — the "jit-batched rollout replaces
+    # the sim" capability, NOT the estimation ground truth)
+    sim_fps = float("nan")
+    if on_tpu:
+        t0 = time.time()
+        pipeline.simulate_sequence(seed, **sim_kw)
+        sim_cold_s = time.time() - t0
+        t0 = time.time()
+        pipeline.simulate_sequence(seed, **sim_kw)
+        sim_warm_s = time.time() - t0
+        sim_fps = duration / sim_warm_s
+        log(f"sim(f32 device): cold {sim_cold_s:.1f}s warm {sim_warm_s:.1f}s "
+            f"({sim_fps:.0f} frames/s)")
+
+    # ---- streaming OD: multi-window, real gaps ---------------------------
     cfg = StreamingConfig(dtype=dtype)
     t0 = time.time()
     res = pipeline.run_streaming(seq, seed=seed, cfg=cfg)  # warm-up/compile
@@ -65,8 +120,9 @@ def main():
     frames_per_s = duration / run_s
     t5 = ate.time_to_threshold(res.errors, res.times, 5.0)
     final_err = float(res.errors[-1]) if len(res.errors) else float("nan")
-    log(f"stream: warm {warm_s:.1f}s run {run_s:.1f}s -> {frames_per_s:.1f} frames/s"
-        f" time_to_5km={t5} final_err={final_err:.2f} km")
+    log(f"stream: warm {warm_s:.1f}s run {run_s:.1f}s -> "
+        f"{frames_per_s:.1f} frames/s windows={len(windows)} "
+        f"time_to_5km={t5} final_err={final_err:.2f} km")
 
     # ---- per-iteration comparison vs the numpy reference-pattern baseline
     from vinsat_tpu.bench_baseline import baseline_ba_iteration
@@ -111,19 +167,37 @@ def main():
     log(f"baseline: {base_iter*1e3:.1f} ms/iter")
 
     vs_baseline = base_iter / ours_iter
+
+    extra = {
+        "time_to_5km_s": t5,
+        "final_error_km": round(final_err, 3),
+        "num_windows": len(windows),
+        "sim_frames_per_s": round(sim_fps, 1),
+        "ba_iter_ms": round(ours_iter * 1e3, 2),
+        "baseline_iter_ms": round(base_iter * 1e3, 2),
+        "platform": platform,
+        "dtype": dtype,
+    }
+
+    if os.environ.get("BENCH_FULL_EVAL") == "1":
+        # the reference's full evaluation: 16 random orbits over the 16
+        # detector-active MGRS regions (od_pipe.py:1063-1086 +
+        # errors_eval.py) — region-based landmarks, no along-track guarantee
+        t0 = time.time()
+        summary = pipeline.run_batch_eval(list(range(16)),
+                                          duration_s=duration, cfg=cfg)
+        extra["full_eval"] = {k: (round(v, 3) if isinstance(v, float) else v)
+                              for k, v in summary.items()}
+        extra["full_eval_wall_s"] = round(time.time() - t0, 1)
+        log(f"full 16-orbit eval: {summary}")
+
     print(json.dumps({
-        "metric": "streaming OD throughput (10800 s arc, 1 chip)",
+        "metric": "multi-window streaming OD throughput "
+                  "(10800 s gapped arc, 1 chip)",
         "value": round(frames_per_s, 2),
         "unit": "frames/s",
         "vs_baseline": round(vs_baseline, 2),
-        "extra": {
-            "time_to_5km_s": t5,
-            "final_error_km": round(final_err, 3),
-            "ba_iter_ms": round(ours_iter * 1e3, 2),
-            "baseline_iter_ms": round(base_iter * 1e3, 2),
-            "platform": platform,
-            "dtype": dtype,
-        },
+        "extra": extra,
     }))
 
 

@@ -86,18 +86,79 @@ def run_fullbatch(duration):
 
 
 def run_streaming(duration):
-    from vinsat_tpu import pipeline
-    from vinsat_tpu.evalx import ate
+    """Config 3: noisy detections + downselect matching feeding the EKF+BA
+    hybrid — reported with accuracy deltas vs BA-only and EKF-only."""
+    import jax.numpy as jnp
 
+    from vinsat_tpu import pipeline
+    from vinsat_tpu.estimation.window import StreamingConfig
+    from vinsat_tpu.evalx import ate
+    from vinsat_tpu.kernels.matching import nearest_landmark
+
+    # gapped (region-pass) sequence => real multi-window streaming
     seq = pipeline.simulate_sequence(1, duration_s=duration, frame_stride=5,
-                                     along_track=True)
-    t0 = time.time()
-    res = pipeline.run_streaming(seq, seed=1)
-    wall = time.time() - t0
-    t5 = ate.time_to_threshold(res.errors, res.times, 5.0)
-    _result("3-streaming", min_error_km=round(float(res.errors.min()), 3),
-            time_to_5km_s=t5, wall_s=round(wall, 2),
-            frames_per_s=round(duration / wall, 1))
+                                     along_track=True, pass_every_s=1800,
+                                     pass_len_s=300)
+    # detection -> landmark association through the tiled matcher (the
+    # downselect-matching step; replaces per-class CSV lookups,
+    # nadir_sim.get_lon_lat_from_cls)
+    idx, d2 = nearest_landmark(jnp.asarray(seq.det_rows[:, 1:3]),
+                               seq.db.lon, seq.db.lat)
+    rows = seq.det_rows.copy()
+    rows[:, 1] = np.asarray(seq.db.lon)[np.asarray(idx)]
+    rows[:, 2] = np.asarray(seq.db.lat)[np.asarray(idx)]
+    seq = seq._replace(det_rows=rows)
+
+    out = {}
+    for tag, cfg in [("ba_only", StreamingConfig()),
+                     ("hybrid", StreamingConfig(use_ekf_hybrid=True))]:
+        t0 = time.time()
+        res = pipeline.run_streaming(seq, seed=1, cfg=cfg)
+        wall = time.time() - t0
+        out[tag] = {
+            "final_error_km": round(float(res.errors[-1]), 3),
+            "min_error_km": round(float(res.errors.min()), 3),
+            "time_to_5km_s": ate.time_to_threshold(res.errors, res.times, 5.0),
+            "wall_s": round(wall, 2),
+        }
+    out["ekf_only"] = _ekf_only_errors(seq)
+    _result("3-streaming", matcher_max_d2=round(float(np.asarray(d2).max()), 8),
+            **out)
+
+
+def _ekf_only_errors(seq):
+    """EKF-only pass over the same detection graph (the filter half of the
+    hybrid, for the delta report)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vinsat_tpu.estimation import ekf, factors, ingest
+    from vinsat_tpu.estimation.hybrid import build_knot_obs_buffers
+
+    duration = seq.orbit_pos_eci_km.shape[0] - 1
+    graph = ingest.build_graph(seq.det_rows, duration)
+    gt = ingest.process_ground_truths(seq.orbit_pos_eci_km, graph)
+    intr = jnp.asarray([3547.8512126219637, 3547.8512126219637, 2304.0,
+                        1296.0])
+    N = len(graph.time_idx)
+    lm, uv, ov = build_knot_obs_buffers(graph, gt, 0, N, max_obs=8)
+    gaps = np.concatenate([[0.0], np.diff(graph.time_idx)]).astype(float)
+    cum = np.asarray(factors.cumulative_rotations(
+        jnp.asarray(gt.omega_full), 1.0, jnp.asarray(graph.time_idx)))
+    cum_before = np.concatenate([[[0, 0, 0, 1.0]], cum[:-1]], axis=0)
+    x0 = gt.states[0].copy()
+    x0[:3] += np.array([30.0, -20.0, 10.0])
+    cov0 = jnp.diag(jnp.array([1e3] * 3 + [1e-2] * 3 + [1e-1] * 3))
+    states, covs = ekf.run_filter(
+        jnp.asarray(x0), cov0, jnp.asarray(gaps), jnp.asarray(cum_before),
+        jnp.asarray(lm), jnp.asarray(uv), jnp.asarray(ov), intr,
+        ekf.EKFConfig(num_hops=int(np.ceil(max(gaps.max(), 1) / 100)) + 1),
+    )
+    jax.block_until_ready(states)
+    err = np.linalg.norm(np.asarray(states)[:, :3] - gt.states[:, :3],
+                         axis=-1)
+    return {"final_error_km": round(float(err[-1]), 3),
+            "median_error_km": round(float(np.median(err)), 3)}
 
 
 def run_constellation(duration):

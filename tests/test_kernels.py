@@ -72,3 +72,50 @@ def test_normal_eq_kernel_interpret_matches_reference(rng):
                                atol=1e-6)
     np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), rtol=1e-5,
                                atol=1e-6)
+
+
+def test_sharded_pallas_assembly_matches_einsum(rng):
+    """The fused Pallas normal-eq assembly path of the sharded BA step
+    matches the XLA einsum path on a well-posed problem (interpret mode).
+
+    Uses the GT+noise geometry of test_sharded_ba so the first LM trial is
+    robustly accepted on both paths (an ill-posed random problem can flip
+    the lambda-acceptance branch on 1e-7 kernel rounding)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from test_sharded_ba import INTR, _build_problem
+    from vinsat_tpu.dist import mesh as mesh_mod, sharded_ba
+    from vinsat_tpu.estimation import ba
+    from vinsat_tpu.kernels import normal_eq
+
+    n_knots, D = 16, 4
+    st, gaps, cum, lm, uv, conf, ii, lm_flat = _build_problem(rng, n_knots, D)
+    params = ba.SolverParams(num_hops=3, max_substep=100.0)
+    mesh = mesh_mod.make_mesh(n_orbit=1, n_arc=4)
+    pv = np.ones((1, n_knots))
+    pv[:, -1] = 0.0
+    sprob = sharded_ba.ShardedProblem(
+        states=st[None], gaps=gaps[None], cum_rot=cum[None],
+        lm_xyz=jnp.array(lm)[None], uv=uv.reshape(n_knots, D, 2)[None],
+        conf=conf.reshape(n_knots, D)[None],
+        obs_valid=jnp.ones((1, n_knots, D)), pair_valid=jnp.array(pv),
+        intrinsics=INTR,
+    )
+    step_ref = sharded_ba.make_sharded_ba_step(mesh, params)
+    out_ref, _ = step_ref(jnp.asarray(0), jnp.full((1,), 1e-4), sprob)
+
+    orig = normal_eq.assemble_normal_eq
+    normal_eq.assemble_normal_eq = functools.partial(orig, interpret=True)
+    try:
+        step_pal = sharded_ba.make_sharded_ba_step(
+            mesh, params, use_pallas_assembly=True)
+        out_pal, _ = step_pal(jnp.asarray(0), jnp.full((1,), 1e-4), sprob)
+    finally:
+        normal_eq.assemble_normal_eq = orig
+    # kernel accumulates in f32 -> small state-update differences
+    np.testing.assert_allclose(np.asarray(out_pal), np.asarray(out_ref),
+                               rtol=1e-4, atol=5e-4)

@@ -122,3 +122,78 @@ def test_metrics_logs_finite_residual(short_seq, tmp_path):
     for r in windows:
         assert np.isfinite(r["mean_residual"])
         assert r["mean_residual"] > 0
+
+
+def test_marginalized_streaming_converges(short_seq):
+    """Bounded-memory mode (anchor prior carrying the true marginal info)
+    matches or beats the growing-prefix path on a gapped stream."""
+    from vinsat_tpu.estimation.window import StreamingConfig, stream_orbit
+
+    rows = _gapped_rows(short_seq)
+    prefix = stream_orbit(rows, short_seq.orbit_pos_eci_km, seed=3)
+    marg = stream_orbit(rows, short_seq.orbit_pos_eci_km, seed=3,
+                        cfg=StreamingConfig(marginalize=True))
+    assert np.isfinite(marg.errors).all()
+    assert marg.errors[-1] < 5.0
+    # bounded memory trades some short-arc accuracy for O(window) cost;
+    # on longer gapped arcs it matches or beats the prefix path
+    # (docs/BENCHMARKS.md) — here just require the same accuracy class
+    assert marg.errors[-1] < max(3.0 * prefix.errors[-1], 2.0)
+
+
+def test_prior_beats_no_prior_on_sparse_handoff():
+    """VERDICT #5: the anchor prior must measurably help.  Clean causal
+    comparison at matched architecture on a multi-pass sparse stream:
+    bounded windows WITH the marginal prior vs the SAME bounded windows
+    with the prior information zeroed (warm start only).  Measured: ~1.8 km
+    vs ~79 km final — without the carried information, per-pass windows
+    cannot fix velocity and drift compounds across gaps."""
+    from vinsat_tpu.estimation import ba
+    from vinsat_tpu.estimation.window import StreamingConfig, stream_orbit
+
+    seq = pipeline.simulate_sequence(1, duration_s=3600, along_track=True,
+                                     frame_stride=10, pass_every_s=1200,
+                                     pass_len_s=300)
+    rows = seq.det_rows
+    keep = rows[:, 0] < 600
+    keep[np.nonzero(~keep)[0][::10]] = True
+    rows = rows[keep]
+    cfg = StreamingConfig(marginalize=True)
+    marg = stream_orbit(rows, seq.orbit_pos_eci_km, seed=1, cfg=cfg)
+
+    orig = ba.inflate_info
+    ba.inflate_info = lambda H9, *f: np.eye(9) * 1e-9
+    try:
+        noprior = stream_orbit(rows, seq.orbit_pos_eci_km, seed=1, cfg=cfg)
+    finally:
+        ba.inflate_info = orig
+    assert np.isfinite(marg.errors).all()
+    assert marg.errors[-1] < 5.0
+    assert marg.errors[-1] < 0.25 * noprior.errors[-1], (
+        marg.errors[-1], noprior.errors[-1])
+
+
+def test_ekf_hybrid_streaming(short_seq):
+    """Config-3 hybrid: EKF warm start + anchor prior converges and matches
+    the marginalized path's accuracy class."""
+    from vinsat_tpu.estimation.window import StreamingConfig, stream_orbit
+
+    rows = _gapped_rows(short_seq)
+    hyb = stream_orbit(rows, short_seq.orbit_pos_eci_km, seed=3,
+                       cfg=StreamingConfig(use_ekf_hybrid=True))
+    assert np.isfinite(hyb.errors).all()
+    assert hyb.errors[-1] < 5.0
+
+
+def test_marginalized_checkpoint_resume(short_seq, tmp_path):
+    """Resume restores the anchor marginal info in bounded mode."""
+    from vinsat_tpu.estimation.window import StreamingConfig, stream_orbit
+
+    rows = _gapped_rows(short_seq)
+    cfg = StreamingConfig(marginalize=True)
+    ck = str(tmp_path / "ck")
+    full = stream_orbit(rows, short_seq.orbit_pos_eci_km, seed=3, cfg=cfg,
+                        checkpoint_path=ck)
+    resumed = stream_orbit(rows, short_seq.orbit_pos_eci_km, seed=3, cfg=cfg,
+                           resume_from=f"{ck}.w0.npz")
+    np.testing.assert_allclose(full.errors, resumed.errors, rtol=1e-10)

@@ -79,3 +79,71 @@ def test_checkpoint_roundtrip(tmp_path):
     np.testing.assert_array_equal(z["states"], states)
     np.testing.assert_array_equal(z["last_hessian"], H)
     assert z["window_idx"] == 3 and z["lamda"] == 1e-3
+
+
+def test_label_raster_epsg4326_matches_label_grid():
+    """On a degree-gridded raster the CRS path reduces to label_grid."""
+    from vinsat_tpu.tools.labeling import label_grid, label_raster
+    from vinsat_tpu.tools.raster import Affine
+
+    rng = np.random.default_rng(0)
+    lon_min, lat_min, lon_max, lat_max = -123.0, 34.0, -120.0, 37.0
+    W, H = 600, 600
+    c_lon = rng.uniform(lon_min + 0.2, lon_max - 0.2, 50)
+    c_lat = rng.uniform(lat_min + 0.2, lat_max - 0.2, 50)
+    half = rng.uniform(0.01, 0.05, (50, 2))
+    lm = np.stack([c_lon, c_lat, c_lon - half[:, 0], c_lat - half[:, 1],
+                   c_lon + half[:, 0], c_lat + half[:, 1]], axis=1)
+    t = Affine((lon_max - lon_min) / W, 0.0, lon_min,
+               0.0, -(lat_max - lat_min) / H, lat_max)
+    a = label_grid(lm, lon_min, lat_min, lon_max, lat_max, W, H)
+    b = label_raster(lm, t, W, H, crs="EPSG:4326")
+    np.testing.assert_allclose(a, b, rtol=1e-12, atol=1e-12)
+
+
+def test_label_raster_epsg3857_roundtrip():
+    """Web-Mercator labels land where the inverse projection says the
+    landmark is (the real-geotransform parity case, label_ld.py:56-113)."""
+    from vinsat_tpu.tools.labeling import (epsg3857_to_lonlat, label_raster,
+                                           lonlat_to_epsg3857)
+    from vinsat_tpu.tools.raster import Affine
+
+    # raster covering [-122.6, -121.4] x [35.4, 36.6] in EPSG:3857
+    x0, y1 = lonlat_to_epsg3857(-122.6, 36.6)
+    x1, y0 = lonlat_to_epsg3857(-121.4, 35.4)
+    W = H = 512
+    t = Affine((x1 - x0) / W, 0.0, x0, 0.0, (y0 - y1) / H, y1)
+
+    rng = np.random.default_rng(1)
+    c_lon = rng.uniform(-122.5, -121.5, 40)
+    c_lat = rng.uniform(35.5, 36.5, 40)
+    half = rng.uniform(0.005, 0.02, (40, 2))
+    lm = np.stack([c_lon, c_lat, c_lon - half[:, 0], c_lat - half[:, 1],
+                   c_lon + half[:, 0], c_lat + half[:, 1]], axis=1)
+    rows = label_raster(lm, t, W, H, crs="EPSG:3857")
+    assert len(rows) == 40  # margins keep everything in bounds
+    # centroid pixel -> world -> lonlat must return the input centroid
+    for r in rows:
+        k = int(r[0])
+        x, y = t.pixel_to_world(r[1] * W, r[2] * H)
+        lon, lat = epsg3857_to_lonlat(x, y)
+        np.testing.assert_allclose(lon, c_lon[k], atol=1e-9)
+        np.testing.assert_allclose(lat, c_lat[k], atol=1e-9)
+    # mercator y-stretch: boxes are TALLER in pixels than an equirect
+    # mapping would make them (cos(36deg) ~ 0.81 scale difference)
+    px_w = rows[:, 3] * W
+    px_h = rows[:, 4] * H
+    sq_lon = half[rows[:, 0].astype(int), 0]
+    sq_lat = half[rows[:, 0].astype(int), 1]
+    aspect = (px_h / px_w) / (sq_lat / sq_lon)
+    np.testing.assert_allclose(aspect, 1.0, atol=0.02)
+
+
+def test_write_yolo_labels(tmp_path):
+    from vinsat_tpu.tools.labeling import write_yolo_labels
+
+    rows = np.array([[3, 0.5, 0.25, 0.1, 0.2]])
+    p = str(tmp_path / "img.txt")
+    write_yolo_labels(rows, p)
+    cls, xc, yc, w, h = open(p).read().split()
+    assert cls == "3" and float(xc) == 0.5 and float(h) == 0.2

@@ -25,10 +25,17 @@ def cmd_simulate(args):
 
     os.makedirs(args.out, exist_ok=True)
     for seed in range(args.first, args.first + args.num):
-        seq = pipeline.simulate_sequence(
-            seed, duration_s=args.duration, frame_stride=args.stride,
-            along_track=args.along_track, noise_px=args.noise_px,
-        )
+        if args.imagery:
+            seq = pipeline.simulate_sequence_imagery(
+                seed, duration_s=args.duration, frame_stride=args.stride,
+            )
+        else:
+            seq = pipeline.simulate_sequence(
+                seed, duration_s=args.duration, frame_stride=args.stride,
+                along_track=args.along_track, noise_px=args.noise_px,
+                pass_every_s=args.pass_every, pass_len_s=args.pass_len,
+                hifi_truth=args.hifi_truth,
+            )
         sid = str(seed).zfill(5)
         np.save(os.path.join(args.out, f"{sid}_all_detections.npy"),
                 seq.det_rows)
@@ -41,7 +48,9 @@ def cmd_stream(args):
     from vinsat_tpu import pipeline
     from vinsat_tpu.estimation.window import StreamingConfig, stream_orbit
 
-    cfg = StreamingConfig(use_prior=args.use_prior)
+    cfg = StreamingConfig(use_prior=args.use_prior,
+                          marginalize=args.marginalize,
+                          use_ekf_hybrid=args.ekf_hybrid)
     errors, times = [], []
     os.makedirs(args.out, exist_ok=True)
     from vinsat_tpu.estimation import ingest as _ingest
@@ -61,7 +70,11 @@ def cmd_stream(args):
             orbit = _ingest.load_reference_orbit(ref_path)
         if len(det) == 0:
             continue
-        res = stream_orbit(det, orbit, seed=int(sid), cfg=cfg)
+        ckpt = (os.path.join(args.out, f"{sid}_ckpt")
+                if args.checkpoint else None)
+        res = stream_orbit(det, orbit, seed=int(sid), cfg=cfg,
+                           checkpoint_path=ckpt,
+                           resume_from=args.resume_from or None)
         errors.append(res.errors)
         times.append(res.times)
         if len(res.errors):
@@ -216,12 +229,29 @@ def main(argv=None):
     s.add_argument("--stride", type=int, default=1)
     s.add_argument("--noise-px", type=float, default=4.0)
     s.add_argument("--along-track", action="store_true")
+    s.add_argument("--pass-every", type=int, default=None,
+                   help="region-pass landmark layout: landmarks only under "
+                        "track segments every N s (real detection gaps)")
+    s.add_argument("--pass-len", type=int, default=300)
+    s.add_argument("--hifi-truth", action="store_true",
+                   help="simulate truth with the full force model "
+                        "(drag/SRP/third-body)")
+    s.add_argument("--imagery", action="store_true",
+                   help="full imagery path: region rasters + NCC detector")
     s.set_defaults(fn=cmd_simulate)
 
     s = sub.add_parser("stream")
     s.add_argument("--data", required=True)
     s.add_argument("--out", required=True)
     s.add_argument("--use-prior", action="store_true")
+    s.add_argument("--marginalize", action="store_true",
+                   help="bounded-memory windows with anchor marginal prior")
+    s.add_argument("--ekf-hybrid", action="store_true",
+                   help="EKF+BA hybrid (config 3): EKF warm start + prior")
+    s.add_argument("--checkpoint", action="store_true",
+                   help="write per-window checkpoints next to --out")
+    s.add_argument("--resume-from", default=None,
+                   help="checkpoint .npz to resume from")
     s.set_defaults(fn=cmd_stream)
 
     s = sub.add_parser("fullbatch")

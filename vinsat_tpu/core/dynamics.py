@@ -101,6 +101,37 @@ def rollout_orbit(x0, num_steps: int, h: float, textbook_j2: bool = False):
     return jnp.concatenate([x0[None], xs], axis=0)
 
 
+def rollout_orbit_hifi(x0, num_steps: int, h: float,
+                       mjd0_tt: float = 51544.5 + 4700.0):
+    """Integrate with the FULL hi-fi force model (core/forces: J2 + drag +
+    SRP + sun/moon third-body ≙ ground_truth_sat_dynamics,
+    BA_utils.py:788-877) — the truth-model option for measuring the
+    estimator's model-mismatch robustness (estimation stays two-body+J2).
+
+    The ephemeris epoch advances with integration time (the reference's
+    cached-Julia variant froze it per call).
+    """
+    from vinsat_tpu.core import forces
+
+    def deriv(x, t_s):
+        mjd = mjd0_tt + t_s / 86400.0
+        a = forces.hifi_accel_km(x[..., :3], x[..., 3:6], mjd)
+        return jnp.concatenate([x[..., 3:6], a], axis=-1)
+
+    def body(carry, _):
+        x, t = carry
+        f1 = deriv(x, t)
+        f2 = deriv(x + 0.5 * h * f1, t + 0.5 * h)
+        f3 = deriv(x + 0.5 * h * f2, t + 0.5 * h)
+        f4 = deriv(x + h * f3, t + h)
+        xn = x + (h / 6.0) * (f1 + 2 * f2 + 2 * f3 + f4)
+        return (xn, t + h), xn
+
+    t0 = jnp.zeros((), x0.dtype)
+    _, xs = jax.lax.scan(body, (x0, t0), None, length=num_steps)
+    return jnp.concatenate([x0[None], xs], axis=0)
+
+
 # ---------------------------------------------------------------------------
 # Attitude: quaternion kinematics + Euler rigid-body dynamics
 # ---------------------------------------------------------------------------

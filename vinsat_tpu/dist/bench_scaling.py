@@ -1,0 +1,110 @@
+"""Weak-scaling efficiency of the sharded BA step over the arc axis.
+
+BASELINE target: >=80% multi-host BA scaling.  Real multi-chip hardware is
+not attached in this environment, so this measures the next-best evidence:
+
+  * weak scaling on the virtual device mesh (XLA:CPU with
+    --xla_force_host_platform_device_count): P shards each holding a
+    constant per-shard knot chunk, so perfect scaling = constant step time
+    while total work grows P-fold;
+  * efficiency(P) = t(1 shard, base problem) / t(P shards, P x base).
+
+The same program (shard_map + psum/ppermute/all_gather) lowers to ICI
+collectives on a real slice; the virtual-mesh numbers validate that the
+collective volume per step is O(P * k^2) (boundary spikes only) and that
+the solve time is dominated by the embarrassingly parallel local chunks.
+
+Run: XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
+     python -m vinsat_tpu.dist.bench_scaling [--base-knots 64] [--obs 8]
+Prints one JSON line per shard count.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def build_problem(n_knots: int, D: int, dtype, seed: int = 0):
+    import jax.numpy as jnp
+
+    from vinsat_tpu.dist import sharded_ba
+
+    rng = np.random.default_rng(seed)
+    B, N = 1, n_knots
+    pos = rng.normal(size=(B, N, 3)) * 30 + np.array([6900.0, 0, 0])
+    q = rng.normal(size=(B, N, 4))
+    q /= np.linalg.norm(q, axis=-1, keepdims=True)
+    vel = rng.normal(size=(B, N, 3)) * 0.1 + np.array([0, 7.5, 0])
+    states = np.concatenate([pos, q, vel], axis=-1)
+    gaps = np.full((B, N), 120.0)
+    gaps[:, -1] = 0.0
+    cum = np.zeros((B, N, 4))
+    cum[..., 3] = 1.0
+    lm = pos[:, :, None, :] * 0.92 + rng.normal(size=(B, N, D, 3)) * 10.0
+    uv = rng.uniform(100, 2000, size=(B, N, D, 2))
+    conf = rng.uniform(0.85, 1.0, (B, N, D))
+    ov = np.ones((B, N, D))
+    pv = np.ones((B, N))
+    pv[:, -1] = 0.0
+    return sharded_ba.ShardedProblem(
+        states=jnp.asarray(states, dtype), gaps=jnp.asarray(gaps, dtype),
+        cum_rot=jnp.asarray(cum, dtype), lm_xyz=jnp.asarray(lm, dtype),
+        uv=jnp.asarray(uv, dtype), conf=jnp.asarray(conf, dtype),
+        obs_valid=jnp.asarray(ov, dtype), pair_valid=jnp.asarray(pv, dtype),
+        intrinsics=jnp.asarray([3547.851, 3547.851, 2304.0, 1296.0], dtype),
+    )
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--base-knots", type=int, default=64,
+                    help="knots per shard (constant in weak scaling)")
+    ap.add_argument("--obs", type=int, default=8)
+    ap.add_argument("--repeats", type=int, default=10)
+    args = ap.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from vinsat_tpu.dist import mesh as mesh_mod
+    from vinsat_tpu.dist import sharded_ba
+    from vinsat_tpu.estimation import ba
+
+    jax.config.update("jax_enable_x64", True)
+    dtype = jnp.float64 if jax.devices()[0].platform == "cpu" else jnp.float32
+    params = ba.SolverParams(num_hops=3, max_substep=100.0)
+    n_dev = len(jax.devices())
+    print(json.dumps({"devices": n_dev,
+                      "platform": jax.devices()[0].platform}))
+
+    t1 = None
+    P = 1
+    while P <= n_dev:
+        mesh = mesh_mod.make_mesh(n_orbit=1, n_arc=P)
+        prob = build_problem(args.base_knots * P, args.obs, dtype)
+        step = sharded_ba.make_sharded_ba_step(mesh, params)
+        lam = jnp.full((1,), 1e-4, dtype)
+        out = step(jnp.asarray(0), lam, prob)
+        jax.block_until_ready(out)
+        ts = []
+        for _ in range(args.repeats):
+            t0 = time.perf_counter()
+            out = step(jnp.asarray(0), lam, prob)
+            jax.block_until_ready(out)
+            ts.append(time.perf_counter() - t0)
+        t = float(np.median(ts))
+        if t1 is None:
+            t1 = t
+        print(json.dumps({
+            "arc_shards": P, "total_knots": args.base_knots * P,
+            "step_ms": round(t * 1e3, 2),
+            "weak_scaling_efficiency": round(t1 / t, 3),
+        }))
+        P *= 2
+
+
+if __name__ == "__main__":
+    main()

@@ -79,7 +79,8 @@ def _push_right(x, axis, nshards):
 
 def _one_orbit_iteration(sched_iter, lamda, states_l, gaps_l, cum_l, lm_l,
                          uv_l, conf_l, ov_l, pv_l, intr, params: SolverParams,
-                         axis: str, nshards: int, initialize=0.0):
+                         axis: str, nshards: int, initialize=0.0,
+                         use_pallas_assembly: bool = False):
     """One LM iteration for ONE orbit whose knots are sharded over `axis`.
 
     All *_l arrays are the local knot chunk (Nl, ...).  Runs inside
@@ -135,9 +136,19 @@ def _one_orbit_iteration(sched_iter, lamda, states_l, gaps_l, cum_l, lm_l,
     res_pv, res_q = dyn.res_pv, dyn.res_q
 
     # --- normal equation blocks ----------------------------------------
-    JgW = Jg * w[..., None, None]
-    D_blk = jnp.einsum("ndki,ndkj->nij", JgW, Jg)  # (Nl, 9, 9)
-    D_blk = D_blk + sigma * jnp.einsum("tki,tkj->tij", A, A)
+    if use_pallas_assembly:
+        # fused robust-weight x Gram x gradient kernel (one VMEM pass per
+        # knot tile) — kernels/normal_eq.py; measured vs the XLA einsums in
+        # benchmarks (docs/BENCHMARKS.md "Pallas kernels")
+        from vinsat_tpu.kernels.normal_eq import assemble_normal_eq
+
+        D_obs, g_obs = assemble_normal_eq(Jg, r_obs, w)
+        JgW = None
+    else:
+        JgW = Jg * w[..., None, None]
+        D_obs = jnp.einsum("ndki,ndkj->nij", JgW, Jg)  # (Nl, 9, 9)
+        g_obs = jnp.einsum("ndki,ndk->ni", JgW, r_obs)
+    D_blk = D_obs + sigma * jnp.einsum("tki,tkj->tij", A, A)
     D_blk = D_blk + sigma * dyn.Hq_diag[:-1]
     # B^T B contribution belongs to knot t+1: local for t<Nl-1, remote for
     # the boundary pair
@@ -151,7 +162,7 @@ def _one_orbit_iteration(sched_iter, lamda, states_l, gaps_l, cum_l, lm_l,
     U_blk = sigma * (jnp.einsum("tki,tkj->tij", A, B) + dyn.Hq_off)  # (Nl,9,9)
 
     # --- gradient -------------------------------------------------------
-    JgT_r = jnp.einsum("ndki,ndk->ni", JgW, r_obs)
+    JgT_r = g_obs
     JfT_r = jnp.einsum("tki,tk->ti", A, res_pv)
     BtR = jnp.einsum("tki,tk->ti", B, res_pv)
     JfT_r = JfT_r.at[1:].add(BtR[:-1])
@@ -223,12 +234,14 @@ def _one_orbit_iteration(sched_iter, lamda, states_l, gaps_l, cum_l, lm_l,
     return states_new, lam_next
 
 
-def make_sharded_ba_step(mesh: Mesh, params: SolverParams = SolverParams()):
+def make_sharded_ba_step(mesh: Mesh, params: SolverParams = SolverParams(),
+                         use_pallas_assembly: bool = False):
     """Build the jitted multi-chip BA training step.
 
     Returns step(sched_iter, lamda (B,), prob: ShardedProblem) ->
     (new_states (B, N, 10), new_lamda (B,)).  B must divide the orbit axis,
-    N the arc axis.
+    N the arc axis.  use_pallas_assembly swaps the XLA einsum
+    normal-equation assembly for the fused Pallas kernel.
     """
     nshards = mesh.shape["arc"]
     axis = "arc"
@@ -239,6 +252,7 @@ def make_sharded_ba_step(mesh: Mesh, params: SolverParams = SolverParams()):
             return _one_orbit_iteration(
                 sched_iter, lam, st, g, cr, l, u, cf, o, p, intr, params,
                 axis, nshards, initialize=init_flag,
+                use_pallas_assembly=use_pallas_assembly,
             )
 
         return jax.vmap(per_orbit)(lamda_b, states, gaps, cum, lm, uv, conf,

@@ -28,6 +28,7 @@ from __future__ import annotations
 from typing import NamedTuple, Optional, Tuple
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 from vinsat_tpu.core import quat
@@ -439,10 +440,107 @@ def ba_iteration(sched_iter, states, prob: BAProblem, lamda_init,
     )
 
     lamda_init_new = jnp.maximum(jnp.minimum(1e-1, lamda_f * 0.01), 1e-4)
-    last_hessian = D[-1] + lamda_used * eye
+    # trailing diagonal block of the last VALID knot (BA_filtering.py:97) —
+    # D[-1] would be a zero padding block in bucketed windows
+    idx_last = jnp.maximum(prob.knot_valid.sum().astype(jnp.int32) - 1, 0)
+    last_hessian = D[idx_last] + lamda_used * eye
     # the accepted trial's residual (already computed in-loop) is the
     # diagnostic — recomputing it would cost a full extra factor evaluation
     return BAStep(states_new, lamda_init_new, last_hessian, trial_res)
+
+
+def terminal_marginal_info(states, prob: BAProblem,
+                           params: SolverParams = SolverParams(),
+                           sigma_obs_px: float = 4.0,
+                           sigma_dyn: Optional[float] = None,
+                           extra_diag=None):
+    """TRUE marginal information (9, 9) of the last valid knot.
+
+    The marginal covariance of knot N is (H⁻¹)_NN; for the block-tridiagonal
+    H this equals inv(S_N) where S_N is the final Schur complement of the
+    forward (Thomas) elimination — one extra forward scan, no full inverse.
+
+    Unlike the reference's `last_hessian` (the raw trailing block of JTwJ,
+    BA_filtering.py:97) this (a) accounts for correlation with all other
+    knots, and (b) uses PHYSICAL noise weighting: observations at
+    conf/σ_px² (not the max-normalized robust weights) and dynamics at
+    σ_dyn (default: the solver's σ_max anneal endpoint).  It is the honest
+    information to hand to the next window's prior/EKF.
+    """
+    dtype = states.dtype
+    N = states.shape[0]
+    sigma = jnp.asarray(params.sigma_max if sigma_dyn is None else sigma_dyn,
+                        dtype)
+
+    reproj = factors.reprojection_factor(
+        states, prob.landmarks_xyz, prob.ii, prob.intrinsics
+    )
+    dyn = factors.dynamics_factor(
+        states, prob.gaps, prob.cum_rot, params.quat_coeff, params.vel_coeff,
+        valid_pair=prob.pair_valid, num_hops=params.num_hops,
+        max_substep=params.max_substep, with_jacobian=True,
+    )
+    w = prob.conf * prob.obs_valid / (sigma_obs_px ** 2)
+    Jg = reproj.J
+    JgW = Jg * w[:, None, None]
+    G_obs = jnp.einsum("mki,mkj->mij", JgW, Jg)
+    D = jax.ops.segment_sum(G_obs, prob.ii, num_segments=N)
+    D = D + sigma * dyn.Hq_diag
+    D = D.at[:-1].add(sigma * jnp.einsum("tki,tkj->tij", dyn.A, dyn.A))
+    D = D.at[1:].add(sigma * jnp.einsum("tki,tkj->tij", dyn.B, dyn.B))
+    U = sigma * (jnp.einsum("tki,tkj->tij", dyn.A, dyn.B) + dyn.Hq_off)
+    if extra_diag is not None:
+        # e.g. the anchor-knot prior information of a marginalized window
+        D = D + extra_diag
+    # small diagonal floor so padding/unobserved blocks stay invertible
+    D = D + 1e-9 * jnp.eye(9, dtype=dtype)[None]
+
+    # forward elimination with Jacobi scaling (f32-safe), tracking only the
+    # Schur complement; padding rows (knot_valid=0) are skipped by masking
+    # their coupling (U into/out of padding is already zero via pair_valid)
+    diag = jnp.diagonal(D, axis1=-2, axis2=-1)
+    s = 1.0 / jnp.sqrt(jnp.maximum(diag, 1e-30))
+    Ds = D * s[:, :, None] * s[:, None, :]
+    Us = U * s[:-1, :, None] * s[1:, None, :]
+    U_prev = jnp.concatenate([jnp.zeros((1, 9, 9), dtype), Us], axis=0)
+
+    def fwd(S_prev, inp):
+        Dt, Utm1 = inp
+        S_t = Dt - Utm1.T @ jnp.linalg.solve(S_prev, Utm1)
+        return S_t, S_t
+
+    S0 = jnp.eye(9, dtype=dtype)
+    _, S_all = jax.lax.scan(fwd, S0, (Ds, U_prev))
+    idx_last = jnp.maximum(prob.knot_valid.sum().astype(jnp.int32) - 1, 0)
+    S_last = S_all[idx_last]
+    s_last = s[idx_last]
+    # undo the Jacobi scaling: H_marg = s⁻¹ S s⁻¹ (info), i.e. scale back
+    return S_last / (s_last[:, None] * s_last[None, :])
+
+
+def inflate_info(H9, pos_floor_km: float, rot_floor: float,
+                 vel_floor: float):
+    """Apply covariance floors to a 9x9 information matrix.
+
+    The least-squares marginal (terminal_marginal_info) is a CRLB-style
+    uncertainty under independent pixel noise; the streaming estimator's
+    ACTUAL terminal error is dominated by correlated/bias components the
+    CRLB cannot see (measured ~10-30x larger in position).  Flooring
+    cov = inv(H) + diag(floor²) keeps the prior honest: it preserves the
+    marginal's correlations and velocity information while preventing the
+    anchor from over-pinning the next window.  (The reference has no
+    analog — its BA_reg prior uses the raw trailing hessian and was never
+    run on its main path, BA_filtering.py:135's live ipdb.)
+    """
+    H9 = np.asarray(H9, dtype=np.float64)
+    cov = np.linalg.inv(H9 + 1e-12 * np.eye(9))
+    floors = np.concatenate([
+        np.full(3, pos_floor_km ** 2),
+        np.full(3, rot_floor ** 2),
+        np.full(3, vel_floor ** 2),
+    ])
+    cov = cov + np.diag(floors)
+    return np.linalg.inv(cov)
 
 
 class PriorState(NamedTuple):
@@ -640,5 +738,6 @@ def ba_reg_iteration(sched_iter, states, prob: BAProblem, prior, lamda_init,
         cond, body, first
     )
     lamda_init_new = jnp.maximum(jnp.minimum(1e-1, lamda_f * 0.01), 1e-4)
-    last_hessian = D[-1] + lamda_used * eye
+    idx_last = jnp.maximum(prob.knot_valid.sum().astype(jnp.int32) - 1, 0)
+    last_hessian = D[idx_last] + lamda_used * eye
     return BAStep(states_new, lamda_init_new, last_hessian, trial_res)

@@ -141,32 +141,38 @@ class GroundTruth(NamedTuple):
 
 
 def process_ground_truths(orbit_pos_eci_km: np.ndarray, graph: DetectionGraph,
-                          dt: float = 1.0) -> GroundTruth:
+                          dt: float = 1.0, device_dtype=None) -> GroundTruth:
     """GT conditioning (process_ground_truths, od_pipe.py:94-123).
 
     orbit_pos_eci_km: (T, 3) 1 Hz GT positions in km, ECI.  Velocities by
     forward difference (compute_velocity_from_pos, BA_utils.py:1370-1373),
     attitude = nadir quaternion from position (convert_pos_to_quaternion,
     od_pipe.py:102), landmarks lifted lon/lat -> ECI at their frame time.
+
+    device_dtype: dtype for the on-device conditioning ops (nadir quats,
+    body rates, landmark lifts).  Default None keeps the backend default;
+    pass the solver dtype when the default device cannot run f64 (TPU with
+    global x64 enabled for host-side f64 simulation).
     """
     import jax.numpy as jnp
 
     from vinsat_tpu.core import quat as jquat
 
+    jd = None if device_dtype is None else jnp.dtype(device_dtype)
     T = orbit_pos_eci_km.shape[0]
     vel_full = np.diff(orbit_pos_eci_km, axis=0) / dt
     vel_full = np.concatenate([vel_full, np.zeros((1, 3))], axis=0)
     quat_full = np.asarray(
-        jframes.nadir_quaternion(jnp.asarray(orbit_pos_eci_km))
+        jframes.nadir_quaternion(jnp.asarray(orbit_pos_eci_km, jd))
     )
     omega_full = np.asarray(
-        jquat.omega_from_sequence(jnp.asarray(quat_full), dt)
+        jquat.omega_from_sequence(jnp.asarray(quat_full, jd), dt)
     )
     lm_xyz = np.asarray(
         jframes.lonlat_to_eci(
-            jnp.asarray(graph.lonlat[:, 0]),
-            jnp.asarray(graph.lonlat[:, 1]),
-            jnp.asarray(graph.frame),
+            jnp.asarray(graph.lonlat[:, 0], jd),
+            jnp.asarray(graph.lonlat[:, 1], jd),
+            jnp.asarray(graph.frame, jd),
         )
     )
     t = graph.time_idx

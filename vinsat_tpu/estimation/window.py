@@ -16,6 +16,7 @@ TPU design:
 """
 from __future__ import annotations
 
+import contextlib
 import functools
 from typing import List, NamedTuple, Optional, Tuple
 
@@ -178,9 +179,65 @@ class StreamingConfig(NamedTuple):
     # instead of plain BA (reference main path uses BA, od_pipe.py:1040;
     # BA_reg is its streaming_debugging variant, od_pipe.py:893)
     use_prior: bool = False
+    # bounded-memory streaming: each window > 0 solves ONLY the anchor knot
+    # (previous terminal) + new knots, with the anchor carrying the TRUE
+    # marginal information of everything marginalized out
+    # (ba.terminal_marginal_info) as a BA_reg prior.  O(window) per-window
+    # cost instead of the growing-prefix O(arc) — the production long-
+    # horizon mode (reference analog: streaming_debugging, od_pipe.py:788)
+    marginalize: bool = False
+    # EKF+BA hybrid (BASELINE config 3): marginalized windows where the EKF
+    # predict+update chain both propagates the anchor posterior across the
+    # gap AND refines the warm start with the new window's own observations
+    # before BA_reg runs (estimation/hybrid.py); implies marginalize
+    use_ekf_hybrid: bool = False
+    # anchor-prior covariance floors (ba.inflate_info): the CRLB marginal
+    # understates the estimator's bias-dominated terminal error; floors
+    # keep the anchor from over-pinning the next window.  Defaults from a
+    # floor sweep over 1200 s (2-window) and 5400 s (4-window) gapped arcs:
+    # pos 0.1 km / rot 0.01 / vel 1e-4 minimizes both; a larger vel floor
+    # destroys the carried velocity information that makes bounded windows
+    # work (docs/BENCHMARKS.md "bounded-memory streaming")
+    prior_pos_floor_km: float = 0.1
+    prior_rot_floor: float = 0.01
+    prior_vel_floor: float = 1e-4
     # measurement-noise dial (od_pipe.py:941-942): 1.0 = real detections,
     # 0.0 = perfect GT reprojections; interpolates in between
     noise_level: float = 1.0
+
+
+_marginal_info_jit = jax.jit(
+    ba.terminal_marginal_info, static_argnames=("params",))
+
+
+@contextlib.contextmanager
+def _f64_prep_context():
+    """Run data conditioning in f64 wherever the runtime allows.
+
+    The gate reprojections / cumulative rotations / initial-noise transforms
+    are accuracy-relevant: f32 conditioning costs km-level final error on
+    multi-window arcs (measured: 0.39 km -> 6.5 km on the 10800 s gapped
+    bench sequence).  On an f32-only default backend (TPU) with a CPU
+    backend also registered (JAX_PLATFORMS=tpu,cpu), prep temporarily
+    enables x64 and pins the CPU device; with no CPU backend it falls back
+    to the solver dtype.  Yields the prep dtype (None = solver dtype).
+    """
+    if jax.config.jax_enable_x64:
+        yield jnp.dtype(jnp.float64)
+        return
+    try:
+        cpu0 = jax.devices("cpu")[0]
+    except Exception:
+        cpu0 = None
+    if cpu0 is None:
+        yield None
+        return
+    jax.config.update("jax_enable_x64", True)
+    try:
+        with jax.default_device(cpu0):
+            yield jnp.dtype(jnp.float64)
+    finally:
+        jax.config.update("jax_enable_x64", False)
 
 
 def _pad_problem(states, gaps, cum_rot, lm_xyz, lm_uv, conf, ii,
@@ -257,51 +314,60 @@ def stream_orbit(det_rows: np.ndarray, orbit_pos_eci_km: np.ndarray,
         return StreamingResult(np.array([]), np.array([]), -1,
                                np.zeros((0, 10)), np.array([], dtype=np.int64))
     graph = ingest.build_graph(det_rows, T)
-    gt = ingest.process_ground_truths(orbit_pos_eci_km, graph)
 
-    # gate on GT reprojection (od_pipe.py:929-930)
-    intr = jnp.asarray(
-        intrinsics if intrinsics is not None
-        else np.array(REFERENCE_INTRINSICS)
-    )
-    uv_proj = np.asarray(
-        factors.project_landmarks(
-            jnp.asarray(gt.states), jnp.asarray(gt.landmarks_xyz),
-            jnp.asarray(graph.ii), intr,
+    with _f64_prep_context() as pjd:
+        if pjd is None:
+            pjd = jnp.dtype(dtype)
+        gt = ingest.process_ground_truths(orbit_pos_eci_km, graph,
+                                          device_dtype=pjd)
+
+        # gate on GT reprojection (od_pipe.py:929-930)
+        intr_np = np.asarray(
+            intrinsics if intrinsics is not None
+            else np.array(REFERENCE_INTRINSICS)
         )
-    )
-    graph, gt, kept = ingest.gate_and_compact(graph, gt, uv_proj)
-
-    N = len(graph.time_idx)
-    if len(graph.ii) == 0 or N < 2:
-        return StreamingResult(np.array([]), np.array([]), -1,
-                               gt.states, graph.time_idx)
-
-    if cfg.noise_level != 1.0:
-        # interpolate measurements toward perfect GT reprojections
-        # (od_pipe.py:941-942)
-        uv_kept = uv_proj[kept]
-        graph = graph._replace(
-            uv=graph.uv + (uv_kept - graph.uv) * (1.0 - cfg.noise_level)
+        uv_proj = np.asarray(
+            factors.project_landmarks(
+                jnp.asarray(gt.states, pjd),
+                jnp.asarray(gt.landmarks_xyz, pjd),
+                jnp.asarray(graph.ii, jnp.int32), jnp.asarray(intr_np, pjd),
+            )
         )
+        graph, gt, kept = ingest.gate_and_compact(graph, gt, uv_proj)
 
-    # initial guess: GT + noise (od_pipe.py:962-969)
-    pos0 = gt.states[:, :3] + rng.standard_normal((N, 3)) * cfg.noise_pos_km
-    phi = np.asarray(quat.log(jnp.asarray(gt.states[:, 3:7])))
-    phi = phi + rng.standard_normal((N, 3)) * cfg.noise_ori_rad
-    q0 = np.asarray(quat.exp(jnp.asarray(phi)))
-    vel_scale = np.abs(gt.states[:, 7:10]).mean()
-    vel0 = gt.states[:, 7:10] + rng.standard_normal((N, 3)) * vel_scale * cfg.noise_vel_rel
-    states = np.concatenate([pos0, q0, vel0], axis=1)
+        N = len(graph.time_idx)
+        if len(graph.ii) == 0 or N < 2:
+            return StreamingResult(np.array([]), np.array([]), -1,
+                                   gt.states, graph.time_idx)
 
-    # per-knot gap durations + cumulative rotations
-    knot_t = graph.time_idx
-    gaps = np.concatenate([np.diff(knot_t), [0]]).astype(np.float64)
-    cum_rot = np.asarray(
-        factors.cumulative_rotations(
-            jnp.asarray(gt.omega_full), 1.0, jnp.asarray(knot_t)
+        if cfg.noise_level != 1.0:
+            # interpolate measurements toward perfect GT reprojections
+            # (od_pipe.py:941-942)
+            uv_kept = uv_proj[kept]
+            graph = graph._replace(
+                uv=graph.uv + (uv_kept - graph.uv) * (1.0 - cfg.noise_level)
+            )
+
+        # initial guess: GT + noise (od_pipe.py:962-969)
+        pos0 = gt.states[:, :3] + rng.standard_normal((N, 3)) * cfg.noise_pos_km
+        phi = np.asarray(quat.log(jnp.asarray(gt.states[:, 3:7], pjd)))
+        phi = phi + rng.standard_normal((N, 3)) * cfg.noise_ori_rad
+        q0 = np.asarray(quat.exp(jnp.asarray(phi, pjd)))
+        vel_scale = np.abs(gt.states[:, 7:10]).mean()
+        vel0 = (gt.states[:, 7:10]
+                + rng.standard_normal((N, 3)) * vel_scale * cfg.noise_vel_rel)
+        states = np.concatenate([pos0, q0, vel0], axis=1)
+
+        # per-knot gap durations + cumulative rotations
+        knot_t = graph.time_idx
+        gaps = np.concatenate([np.diff(knot_t), [0]]).astype(np.float64)
+        cum_rot = np.asarray(
+            factors.cumulative_rotations(
+                jnp.asarray(gt.omega_full, pjd), 1.0,
+                jnp.asarray(knot_t, jnp.int32)
+            )
         )
-    )
+    intr = jnp.asarray(intr_np, jnp.dtype(dtype))
 
     windows = ingest.split_windows(graph.ii, knot_t)
 
@@ -312,7 +378,9 @@ def stream_orbit(det_rows: np.ndarray, orbit_pos_eci_km: np.ndarray,
     cur_states: Optional[np.ndarray] = None  # optimized prefix (t_final_prev)
     last_hessian: Optional[np.ndarray] = None
     prior_full: Optional[ba.PriorState] = None
+    marg_info: Optional[np.ndarray] = None  # (9, 9) anchor information
     t_prev = 0
+    i_prev = 0
     max_hops = int(np.ceil(gaps.max() / solver.max_substep)) + 1
     solver = solver._replace(num_hops=max(solver.num_hops, max_hops))
 
@@ -328,6 +396,9 @@ def stream_orbit(det_rows: np.ndarray, orbit_pos_eci_km: np.ndarray,
         errors = [ck["errors"]]
         times = [ck["times"]]
         t_prev = len(ck["knot_times"])
+        if "marg_info" in ck:
+            marg_info = np.asarray(ck["marg_info"])
+            i_prev = int(ck["i_prev"])
 
     def record_tail(t_init: int):
         # tail propagation (od_pipe.py:1045-1059)
@@ -350,6 +421,27 @@ def stream_orbit(det_rows: np.ndarray, orbit_pos_eci_km: np.ndarray,
         ))
         times.append(knot_t[t_init:])
 
+    jd = jnp.dtype(dtype)
+    bounded = cfg.marginalize or cfg.use_ekf_hybrid
+
+    def compose_prior_blocks(H9: np.ndarray):
+        """Split a 9x9 [pos, phi, vel] information matrix into the
+        prior_factor's (H_state [pos, vel], H_rot [phi]) blocks, and the
+        matching 9x9 block re-composition (for extra_diag)."""
+        Hs = np.zeros((6, 6))
+        Hs[:3, :3] = H9[0:3, 0:3]
+        Hs[:3, 3:] = H9[0:3, 6:9]
+        Hs[3:, :3] = H9[6:9, 0:3]
+        Hs[3:, 3:] = H9[6:9, 6:9]
+        Hr = H9[3:6, 3:6]
+        H9c = np.zeros((9, 9))
+        H9c[0:3, 0:3] = Hs[:3, :3]
+        H9c[0:3, 6:9] = Hs[:3, 3:]
+        H9c[6:9, 0:3] = Hs[3:, :3]
+        H9c[6:9, 6:9] = Hs[3:, 3:]
+        H9c[3:6, 3:6] = Hr
+        return Hs, Hr, H9c
+
     for w, (t_final, i_final, seq_end) in enumerate(windows):
         if w < start_w:
             # restored from checkpoint; only the tail propagation of the
@@ -357,6 +449,7 @@ def stream_orbit(det_rows: np.ndarray, orbit_pos_eci_km: np.ndarray,
             if seq_end and t_prev < len(knot_t):
                 record_tail(t_prev)
             continue
+        sub_anchor: Optional[int] = None
         if w == 0:
             window_states = states[:t_final]
         else:
@@ -370,14 +463,13 @@ def stream_orbit(det_rows: np.ndarray, orbit_pos_eci_km: np.ndarray,
             om_pad[:om.shape[0]] = om
             path = np.asarray(
                 propagate_segment(
-                    jnp.asarray(cur_states[-1], jnp.dtype(dtype)),
-                    jnp.asarray(om_pad, jnp.dtype(dtype)),
+                    jnp.asarray(cur_states[-1], jd),
+                    jnp.asarray(om_pad, jd),
                     jnp.asarray(span), max_len,
                 )
             )
             new_knots = knot_t[t_init:t_final] - knot_t[t_init - 1]
             states_prop = path[new_knots]
-            window_states = np.concatenate([cur_states, states_prop], axis=0)
             # record propagation errors at the new knots except the last
             err_prop = np.linalg.norm(
                 states_prop[:, :3] - gt.states[t_init:t_final, :3], axis=-1
@@ -385,51 +477,87 @@ def stream_orbit(det_rows: np.ndarray, orbit_pos_eci_km: np.ndarray,
             errors.append(err_prop)
             times.append(knot_t[t_init:t_final][:-1])
 
-            if cfg.use_prior:
-                # window-marginal prior on the newly propagated knots
-                spans = (knot_t[t_init:t_final] - knot_t[t_init - 1]).astype(
-                    np.float64
-                )
-                cum_spans = factors.span_rotations(
-                    jnp.asarray(gt.omega_full), 1.0,
-                    jnp.asarray(int(knot_t[t_init - 1])),
-                    jnp.asarray(knot_t[t_init:t_final]),
-                )
-                hops = int(np.ceil(spans.max() / solver.max_substep)) + 1
-                pri_new = ba.propagate_prior(
-                    jnp.asarray(cur_states[-1], jnp.dtype(dtype)),
-                    jnp.asarray(last_hessian, jnp.dtype(dtype)),
-                    jnp.asarray(spans, jnp.dtype(dtype)), cum_spans,
-                    num_hops=hops, max_substep=solver.max_substep,
-                )
-                prior_full = (np.asarray(pri_new.prop_states),
-                              np.asarray(pri_new.H_state),
-                              np.asarray(pri_new.H_rot), t_init, t_final)
+            if bounded and marg_info is not None:
+                # bounded-memory marginalized window: [anchor] + new knots
+                sub_anchor = t_prev - 1
+                new_states = states_prop
+                if cfg.use_ekf_hybrid:
+                    from vinsat_tpu.estimation import hybrid
 
-        n_pad = bucket(t_final, cfg.knot_bucket)
-        m_pad = bucket(i_final, cfg.obs_bucket, cfg.obs_bucket)
-        st0, prob = _pad_problem(
-            window_states, gaps[:t_final], cum_rot[:t_final],
-            gt.landmarks_xyz[:i_final], graph.uv[:i_final],
-            graph.conf[:i_final], graph.ii[:i_final], n_pad, m_pad, dtype,
-            intrinsics=np.asarray(intr),
-        )
-        init_iters = cfg.init_iters if w == 0 else 0
+                    gap_max = float(
+                        (knot_t[t_init:t_final]
+                         - knot_t[t_init - 1:t_final - 1]).max()
+                    )
+                    hops = int(np.ceil(gap_max / solver.max_substep)) + 1
+                    info0 = ba.inflate_info(
+                        marg_info, cfg.prior_pos_floor_km,
+                        cfg.prior_rot_floor, cfg.prior_vel_floor,
+                    )
+                    new_states, _ = hybrid.ekf_refine_window(
+                        cur_states[-1], info0, knot_t, t_init, t_final,
+                        cum_rot, graph, gt, np.asarray(intr), dtype,
+                        num_hops=hops, max_substep=solver.max_substep,
+                    )
+                window_states = np.concatenate(
+                    [cur_states[-1:], new_states], axis=0
+                )
+            else:
+                window_states = np.concatenate([cur_states, states_prop],
+                                               axis=0)
+                if cfg.use_prior:
+                    # window-marginal prior on the newly propagated knots
+                    spans = (knot_t[t_init:t_final]
+                             - knot_t[t_init - 1]).astype(np.float64)
+                    cum_spans = factors.span_rotations(
+                        jnp.asarray(gt.omega_full, jd), 1.0,
+                        jnp.asarray(int(knot_t[t_init - 1])),
+                        jnp.asarray(knot_t[t_init:t_final], jnp.int32),
+                    )
+                    hops = int(np.ceil(spans.max() / solver.max_substep)) + 1
+                    pri_new = ba.propagate_prior(
+                        jnp.asarray(cur_states[-1], jd),
+                        jnp.asarray(last_hessian, jd),
+                        jnp.asarray(spans, jd), cum_spans,
+                        num_hops=hops, max_substep=solver.max_substep,
+                    )
+                    prior_full = (np.asarray(pri_new.prop_states),
+                                  np.asarray(pri_new.H_state),
+                                  np.asarray(pri_new.H_rot), t_init, t_final)
+
         # each window starts its lambda schedule fresh from lambda_init
         # (od_pipe.py:1033: lamda_init_t = lamda_init)
         lamda = cfg.lambda_init
-        if cfg.use_prior and w > 0 and prior_full is not None:
-            ps, hs, hr, a, b = prior_full
-            jd = jnp.dtype(dtype)
+        init_iters = cfg.init_iters if w == 0 else 0
+        extra_diag0: Optional[np.ndarray] = None
+
+        if sub_anchor is not None:
+            # ---- bounded-memory solve over [anchor, t_final) -------------
+            Nw = t_final - sub_anchor
+            Mw = i_final - i_prev
+            n_pad = bucket(Nw, cfg.knot_bucket)
+            m_pad = bucket(max(Mw, 1), cfg.obs_bucket, cfg.obs_bucket)
+            st0, prob = _pad_problem(
+                window_states, gaps[sub_anchor:t_final],
+                cum_rot[sub_anchor:t_final],
+                gt.landmarks_xyz[i_prev:i_final], graph.uv[i_prev:i_final],
+                graph.conf[i_prev:i_final],
+                graph.ii[i_prev:i_final] - sub_anchor, n_pad, m_pad, dtype,
+                intrinsics=np.asarray(intr),
+            )
+            H9_infl = ba.inflate_info(
+                marg_info, cfg.prior_pos_floor_km, cfg.prior_rot_floor,
+                cfg.prior_vel_floor,
+            )
+            Hs0, Hr0, H9c = compose_prior_blocks(H9_infl)
             prop_pad = np.zeros((n_pad, 10))
             prop_pad[:, 6] = 1.0
+            prop_pad[0] = cur_states[-1]
             Hs_pad = np.zeros((n_pad, 6, 6))
             Hr_pad = np.zeros((n_pad, 3, 3))
             val = np.zeros(n_pad)
-            prop_pad[a:b] = ps
-            Hs_pad[a:b] = hs
-            Hr_pad[a:b] = hr
-            val[a:b] = 1.0
+            Hs_pad[0] = Hs0
+            Hr_pad[0] = Hr0
+            val[0] = 1.0
             prior = ba.PriorState(
                 jnp.asarray(prop_pad, jd), jnp.asarray(Hs_pad, jd),
                 jnp.asarray(Hr_pad, jd), jnp.asarray(val, jd),
@@ -437,15 +565,58 @@ def stream_orbit(det_rows: np.ndarray, orbit_pos_eci_km: np.ndarray,
             out_states, lam_new, last_h, mean_res = solve_window_reg(
                 st0, prob, prior, lamda, cfg.num_iters, solver
             )
+            out_np = np.asarray(out_states)[:Nw]
+            cur_states = np.concatenate([cur_states[:-1], out_np], axis=0)
+            extra_diag0 = H9c
         else:
-            out_states, lam_new, last_h, mean_res = solve_window(
-                st0, prob, lamda, jnp.asarray(init_iters), cfg.num_iters,
-                solver
+            # ---- growing-prefix solve (reference main path) --------------
+            n_pad = bucket(t_final, cfg.knot_bucket)
+            m_pad = bucket(i_final, cfg.obs_bucket, cfg.obs_bucket)
+            st0, prob = _pad_problem(
+                window_states, gaps[:t_final], cum_rot[:t_final],
+                gt.landmarks_xyz[:i_final], graph.uv[:i_final],
+                graph.conf[:i_final], graph.ii[:i_final], n_pad, m_pad,
+                dtype, intrinsics=np.asarray(intr),
             )
+            if cfg.use_prior and w > 0 and prior_full is not None:
+                ps, hs, hr, a, b = prior_full
+                prop_pad = np.zeros((n_pad, 10))
+                prop_pad[:, 6] = 1.0
+                Hs_pad = np.zeros((n_pad, 6, 6))
+                Hr_pad = np.zeros((n_pad, 3, 3))
+                val = np.zeros(n_pad)
+                prop_pad[a:b] = ps
+                Hs_pad[a:b] = hs
+                Hr_pad[a:b] = hr
+                val[a:b] = 1.0
+                prior = ba.PriorState(
+                    jnp.asarray(prop_pad, jd), jnp.asarray(Hs_pad, jd),
+                    jnp.asarray(Hr_pad, jd), jnp.asarray(val, jd),
+                )
+                out_states, lam_new, last_h, mean_res = solve_window_reg(
+                    st0, prob, prior, lamda, cfg.num_iters, solver
+                )
+            else:
+                out_states, lam_new, last_h, mean_res = solve_window(
+                    st0, prob, lamda, jnp.asarray(init_iters),
+                    cfg.num_iters, solver
+                )
+            cur_states = np.asarray(out_states)[:t_final]
+
         last_hessian = np.asarray(last_h)
         lamda = float(lam_new)
-        cur_states = np.asarray(out_states)[:t_final]
         t_prev = t_final
+        i_prev = i_final
+
+        if bounded:
+            # honest terminal marginal information for the next window's
+            # anchor prior (Schur complement over the just-solved window)
+            extra = np.zeros((prob.gaps.shape[0], 9, 9))
+            if extra_diag0 is not None:
+                extra[0] = extra_diag0
+            marg_info = np.asarray(_marginal_info_jit(
+                out_states, prob, solver, extra_diag=jnp.asarray(extra, jd)
+            ), dtype=np.float64)
 
         end_err = np.linalg.norm(
             cur_states[-1:, :3] - gt.states[t_final - 1:t_final, :3], axis=-1
@@ -471,6 +642,9 @@ def stream_orbit(det_rows: np.ndarray, orbit_pos_eci_km: np.ndarray,
                 last_hessian=last_hessian, window_idx=w, lamda=lamda,
                 knot_times=knot_t[:t_final],
                 errors=np.concatenate(errors), times=np.concatenate(times),
+                extra=({} if marg_info is None
+                       else {"marg_info": marg_info,
+                             "i_prev": np.array(i_prev)}),
             )
 
         if seq_end and t_final < len(knot_t):

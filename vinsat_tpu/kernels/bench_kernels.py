@@ -1,0 +1,128 @@
+"""Measured Pallas-vs-XLA crossover for the two custom kernels.
+
+VERDICT r1 #3: "no default-off kernels without data".  This benchmark times,
+at a sweep of production sizes on the attached chip:
+
+  * kernels/matching.visible_count (Pallas tiled visibility gate) vs the
+    pure-XLA broadcast reference — the sim's per-frame imaging gate
+    (F frames x L landmarks interval test);
+  * kernels/normal_eq.assemble_normal_eq (fused robust-weight Gram +
+    gradient) vs the XLA einsum pair — the per-knot-budget BA assembly
+    used by the sharded path (dist/sharded_ba.py).
+
+Prints one JSON line per (kernel, size) with steady-state times and the
+winner.  Results are recorded in docs/BENCHMARKS.md; the production
+defaults (use_pallas_gate / use_pallas_assembly) follow the measured
+winner per regime.
+
+Run: python -m vinsat_tpu.kernels.bench_kernels
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def _time(fn, *args, repeats=20, warmup=3):
+    import jax
+
+    for _ in range(warmup):
+        jax.block_until_ready(fn(*args))
+    ts = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(*args))
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
+
+
+def bench_visible_count(sizes=((1024, 2048), (4096, 8192), (16384, 16896))):
+    import jax
+    import jax.numpy as jnp
+
+    from vinsat_tpu.kernels import matching
+
+    on_tpu = jax.devices()[0].platform != "cpu"
+    rows = []
+    for F, L in sizes:
+        rng = np.random.default_rng(0)
+        bounds = np.stack([
+            rng.uniform(-180, 175, F), rng.uniform(-80, 75, F),
+            np.zeros(F), np.zeros(F)], axis=1)
+        bounds[:, 2] = bounds[:, 0] + 5.0
+        bounds[:, 3] = bounds[:, 1] + 4.0
+        lon = jnp.asarray(rng.uniform(-180, 180, L), jnp.float32)
+        lat = jnp.asarray(rng.uniform(-85, 85, L), jnp.float32)
+        best = jnp.asarray(rng.random(L) < 0.3, jnp.float32)
+        b = jnp.asarray(bounds, jnp.float32)
+
+        ref = jax.jit(matching.visible_count_reference)
+        t_ref = _time(ref, b, lon, lat, best)
+        if on_tpu:
+            t_pal = _time(lambda *a: matching.visible_count(*a), b, lon, lat,
+                          best)
+        else:
+            t_pal = float("nan")
+        # correctness cross-check
+        r = np.asarray(ref(b, lon, lat, best))
+        if on_tpu:
+            p = np.asarray(matching.visible_count(b, lon, lat, best))
+            assert (r == p).all(), "pallas/XLA visibility mismatch"
+        rows.append({
+            "kernel": "visible_count", "F": F, "L": L,
+            "xla_ms": round(t_ref * 1e3, 3), "pallas_ms": round(t_pal * 1e3, 3),
+            "speedup_pallas": round(t_ref / t_pal, 2) if t_pal == t_pal else None,
+        })
+        print(json.dumps(rows[-1]), flush=True)
+    return rows
+
+
+def bench_assemble(sizes=((256, 8), (1024, 8), (4096, 8), (4096, 16))):
+    import jax
+    import jax.numpy as jnp
+
+    from vinsat_tpu.kernels import normal_eq
+
+    on_tpu = jax.devices()[0].platform != "cpu"
+    rows = []
+    for N, D in sizes:
+        rng = np.random.default_rng(0)
+        J = jnp.asarray(rng.normal(size=(N, D, 2, 9)), jnp.float32)
+        r = jnp.asarray(rng.normal(size=(N, D, 2)), jnp.float32)
+        w = jnp.asarray(rng.random((N, D)), jnp.float32)
+
+        ref = jax.jit(normal_eq.assemble_normal_eq_reference)
+        t_ref = _time(ref, J, r, w)
+        if on_tpu:
+            t_pal = _time(lambda *a: normal_eq.assemble_normal_eq(*a), J, r, w)
+            Gp, gp = normal_eq.assemble_normal_eq(J, r, w)
+        else:
+            t_pal = float("nan")
+        Gr, gr = ref(J, r, w)
+        if on_tpu:
+            np.testing.assert_allclose(np.asarray(Gp), np.asarray(Gr),
+                                       rtol=2e-4, atol=2e-3)
+        rows.append({
+            "kernel": "assemble_normal_eq", "N": N, "D": D,
+            "xla_ms": round(t_ref * 1e3, 3), "pallas_ms": round(t_pal * 1e3, 3),
+            "speedup_pallas": round(t_ref / t_pal, 2) if t_pal == t_pal else None,
+        })
+        print(json.dumps(rows[-1]), flush=True)
+    return rows
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_default_matmul_precision", "highest")
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    print(json.dumps({"device": str(jax.devices()[0])}))
+    bench_visible_count()
+    bench_assemble()
+
+
+if __name__ == "__main__":
+    main()

@@ -90,6 +90,15 @@ class TemplateDetector(NamedTuple):
         return np.array(out) if out else np.zeros((0, 4))
 
 
+# batched variant: (F, H, W) crops against the shared template bank in ONE
+# device call (the per-frame loop costs one dispatch per frame — ~0.5 s
+# each over a remote-TPU tunnel)
+correlate_peaks_batch = jax.jit(jax.vmap(
+    lambda img, templates: _correlate_peaks(img, templates),
+    in_axes=(0, None),
+))
+
+
 @functools.partial(jax.jit, static_argnames=())
 def _correlate_peaks(img, templates):
     """Per-class best normalized-correlation peak.

@@ -175,11 +175,17 @@ class Trajectory(NamedTuple):
 import functools
 
 
-@functools.partial(jax.jit, static_argnames=("duration_s", "dt", "dtype"))
-def _generate_trajectory_impl(key, oe, duration_s, dt, dtype):
+@functools.partial(jax.jit, static_argnames=("duration_s", "dt", "dtype",
+                                             "hifi"))
+def _generate_trajectory_impl(key, oe, duration_s, dt, dtype, hifi=False):
     x0 = oe_to_eci(oe)
     num_steps = int(round(duration_s / dt))
-    orbit_traj = dynamics.rollout_orbit(x0, num_steps, dt)
+    if hifi:
+        # full force model as TRUTH (drag/SRP/third-body) while the
+        # estimator keeps two-body+J2: the model-mismatch configuration
+        orbit_traj = dynamics.rollout_orbit_hifi(x0, num_steps, dt)
+    else:
+        orbit_traj = dynamics.rollout_orbit(x0, num_steps, dt)
 
     # tumbling body attitude: random initial quaternion + ~2 deg/s rates
     # (orbit_gen.py:226-235)
@@ -203,12 +209,14 @@ def _generate_trajectory_impl(key, oe, duration_s, dt, dtype):
 
 def generate_trajectory(key, oe: Optional[OrbitalElements] = None,
                         duration_s: int = 10800, dt: float = 1.0,
-                        dtype=jnp.float64) -> Trajectory:
+                        dtype=jnp.float64, hifi: bool = False) -> Trajectory:
     """Simulate a full position+attitude trajectory (generate_eci_traj
     :208-243 + get_nadir_attitude :300).
 
     One jitted lax.scan over the arc; vmap over `key` for a constellation
     batch.  dtype falls back to f32 automatically when x64 is disabled.
+    hifi=True integrates the full force model (drag/SRP/third-body) as
+    truth — the model-mismatch robustness configuration.
     """
     if oe is None:
         key, k_oe = jax.random.split(key)
@@ -217,7 +225,7 @@ def generate_trajectory(key, oe: Optional[OrbitalElements] = None,
     if dtype == jnp.float64 and not jax.config.jax_enable_x64:
         dtype = jnp.dtype(jnp.float32)
     oe = jax.tree.map(lambda v: jnp.asarray(v, dtype=dtype), oe)
-    return _generate_trajectory_impl(key, oe, duration_s, dt, dtype)
+    return _generate_trajectory_impl(key, oe, duration_s, dt, dtype, hifi)
 
 
 def generate_constellation(key, num_orbits: int, duration_s: int = 10800,

@@ -54,3 +54,95 @@ def label_grid(landmarks: np.ndarray, lon_min: float, lat_min: float,
          ws[idx] / width, hs[idx] / height], axis=1
     )
     return rows
+
+
+# ---------------------------------------------------------------------------
+# Raster-CRS labeling (label_ld.label_raster parity, labeling/label_ld.py:56-113)
+# ---------------------------------------------------------------------------
+
+WEB_MERCATOR_R = 6378137.0  # m, EPSG:3857 sphere radius
+
+
+def lonlat_to_epsg3857(lon_deg, lat_deg):
+    """Forward Web-Mercator projection (the pyproj lonlat->EPSG:3857
+    transform of label_ld.py:63, implemented natively).  Latitude is clipped
+    to the projection's +-85.051129 deg validity bound."""
+    lon = np.radians(np.asarray(lon_deg, dtype=np.float64))
+    lat = np.radians(np.clip(np.asarray(lat_deg, dtype=np.float64),
+                             -85.051129, 85.051129))
+    x = WEB_MERCATOR_R * lon
+    y = WEB_MERCATOR_R * np.log(np.tan(np.pi / 4 + lat / 2))
+    return x, y
+
+
+def epsg3857_to_lonlat(x, y):
+    """Inverse Web-Mercator (for round-trip validation)."""
+    lon = np.degrees(np.asarray(x, dtype=np.float64) / WEB_MERCATOR_R)
+    lat = np.degrees(
+        2 * np.arctan(np.exp(np.asarray(y, dtype=np.float64)
+                             / WEB_MERCATOR_R)) - np.pi / 2
+    )
+    return lon, lat
+
+
+def label_raster(landmarks: np.ndarray, transform, width: int, height: int,
+                 crs: str = "EPSG:3857") -> np.ndarray:
+    """YOLO labels for a REAL raster: project landmark bboxes through the
+    raster's CRS + geotransform (label_ld.py:56-113).
+
+    landmarks rows: [centroid_lon, centroid_lat, left_lon, bot_lat,
+    right_lon, top_lat, ...] (the *_top_salient.csv column content);
+    transform: a tools.raster.Affine mapping pixel -> CRS world coords (the
+    GDAL geotransform); crs: "EPSG:3857" (Web-Mercator training GeoTIFFs)
+    or "EPSG:4326" (lon/lat degrees raster).
+
+    Returns (K, 5) rows [cls_idx, xc_n, yc_n, w_n, h_n] with the symmetric
+    width/height doubling (:69-74) and the all-corners-in-bounds gate
+    (:75-79) of the reference.
+    """
+    lm = np.asarray(landmarks, dtype=np.float64)
+    c_lon, c_lat = lm[:, 0], lm[:, 1]
+    l_lon, b_lat = lm[:, 2], lm[:, 3]
+    r_lon, t_lat = lm[:, 4], lm[:, 5]
+
+    if crs.upper() in ("EPSG:3857", "3857"):
+        def proj(lon, lat):
+            return lonlat_to_epsg3857(lon, lat)
+    elif crs.upper() in ("EPSG:4326", "4326"):
+        def proj(lon, lat):
+            return np.asarray(lon, np.float64), np.asarray(lat, np.float64)
+    else:
+        raise ValueError(f"unsupported CRS {crs!r}: EPSG:3857 / EPSG:4326")
+
+    def to_px(lon, lat):
+        x, y = proj(lon, lat)
+        return transform.world_to_pixel(x, y)
+
+    cu, cv = to_px(c_lon, c_lat)
+    tlu, tlv = to_px(l_lon, t_lat)
+    bru, brv = to_px(r_lon, b_lat)
+
+    right_w = bru - cu
+    left_w = cu - tlu
+    top_h = cv - tlv
+    bot_h = brv - cv
+    ws = np.maximum(left_w, right_w) * 2
+    hs = np.maximum(top_h, bot_h) * 2
+
+    inb = (
+        (tlu > 0) & (tlu < width) & (tlv > 0) & (tlv < height)
+        & (bru > 0) & (bru < width) & (brv > 0) & (brv < height)
+    )
+    idx = np.where(inb)[0]
+    return np.stack(
+        [idx.astype(np.float64), cu[idx] / width, cv[idx] / height,
+         ws[idx] / width, hs[idx] / height], axis=1
+    )
+
+
+def write_yolo_labels(rows: np.ndarray, path: str):
+    """Write label rows as a YOLO txt file (label_ld.py:97-105)."""
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(f"{int(r[0])} {r[1]:.6f} {r[2]:.6f} "
+                    f"{r[3]:.6f} {r[4]:.6f}\n")
