@@ -203,6 +203,19 @@ def main():
     ap.add_argument("which", choices=list(RUNNERS) + ["all"])
     ap.add_argument("--duration", type=int, default=3600)
     args = ap.parse_args()
+
+    import os
+
+    import jax
+
+    if jax.devices()[0].platform == "cpu":
+        jax.config.update("jax_enable_x64", True)
+    jax.config.update("jax_default_matmul_precision", "highest")
+    cache = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".jax_cache")
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     keys = list(RUNNERS) if args.which == "all" else [args.which]
     for k in keys:
         try:

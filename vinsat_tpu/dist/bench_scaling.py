@@ -1,18 +1,19 @@
-"""Weak-scaling efficiency of the sharded BA step over the arc axis.
+"""Arc-parallel overhead of the sharded BA step on the virtual mesh.
 
 BASELINE target: >=80% multi-host BA scaling.  Real multi-chip hardware is
-not attached in this environment, so this measures the next-best evidence:
+not attached in this environment, and virtual CPU devices SHARE the same
+cores, so a naive weak-scaling efficiency cannot be measured (P shards do
+P x the work on the same silicon).  What the virtual mesh CAN measure
+honestly is the **arc-parallel overhead ratio**:
 
-  * weak scaling on the virtual device mesh (XLA:CPU with
-    --xla_force_host_platform_device_count): P shards each holding a
-    constant per-shard knot chunk, so perfect scaling = constant step time
-    while total work grows P-fold;
-  * efficiency(P) = t(1 shard, base problem) / t(P shards, P x base).
+    overhead(P) = t(P arc shards, N knots) / t(1 shard, same N knots)
 
-The same program (shard_map + psum/ppermute/all_gather) lowers to ICI
-collectives on a real slice; the virtual-mesh numbers validate that the
-collective volume per step is O(P * k^2) (boundary spikes only) and that
-the solve time is dominated by the embarrassingly parallel local chunks.
+i.e. how much the halo exchanges, psum reductions, and the SPIKE reduced
+solve add over the identical computation unsharded.  On a real slice each
+shard owns its own chip, so the projected weak-scaling efficiency is
+~ 1 / overhead(P): overhead near 1.0 (or below, when the SPIKE cut in
+sequential Thomas depth wins) supports the >=80% target; the real-hardware
+curve still needs a pod to confirm.
 
 Run: XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
      python -m vinsat_tpu.dist.bench_scaling [--base-knots 64] [--obs 8]
@@ -80,28 +81,31 @@ def main(argv=None):
     print(json.dumps({"devices": n_dev,
                       "platform": jax.devices()[0].platform}))
 
-    t1 = None
-    P = 1
-    while P <= n_dev:
+    def timed_step(P, N):
         mesh = mesh_mod.make_mesh(n_orbit=1, n_arc=P)
-        prob = build_problem(args.base_knots * P, args.obs, dtype)
+        prob = build_problem(N, args.obs, dtype)
         step = sharded_ba.make_sharded_ba_step(mesh, params)
         lam = jnp.full((1,), 1e-4, dtype)
-        out = step(jnp.asarray(0), lam, prob)
-        jax.block_until_ready(out)
+        jax.block_until_ready(step(jnp.asarray(0), lam, prob))
         ts = []
         for _ in range(args.repeats):
             t0 = time.perf_counter()
-            out = step(jnp.asarray(0), lam, prob)
-            jax.block_until_ready(out)
+            jax.block_until_ready(step(jnp.asarray(0), lam, prob))
             ts.append(time.perf_counter() - t0)
-        t = float(np.median(ts))
-        if t1 is None:
-            t1 = t
+        return float(np.median(ts))
+
+    P = 2
+    while P <= n_dev:
+        N = args.base_knots * P
+        t_sharded = timed_step(P, N)
+        t_single = timed_step(1, N)
+        overhead = t_sharded / t_single
         print(json.dumps({
-            "arc_shards": P, "total_knots": args.base_knots * P,
-            "step_ms": round(t * 1e3, 2),
-            "weak_scaling_efficiency": round(t1 / t, 3),
+            "arc_shards": P, "total_knots": N,
+            "sharded_step_ms": round(t_sharded * 1e3, 2),
+            "single_shard_ms": round(t_single * 1e3, 2),
+            "overhead_ratio": round(overhead, 3),
+            "projected_weak_efficiency": round(min(1.0, 1.0 / overhead), 3),
         }))
         P *= 2
 

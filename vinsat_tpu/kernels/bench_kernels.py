@@ -25,6 +25,11 @@ import time
 import numpy as np
 
 
+INNER = 4  # per-dispatch amortization: remote-tunnel dispatch costs ~30 ms,
+# so each timed call runs the op INNER times inside one jit (perturbed
+# inputs to defeat CSE) and reports device time per op
+
+
 def _time(fn, *args, repeats=20, warmup=3):
     import jax
 
@@ -35,7 +40,7 @@ def _time(fn, *args, repeats=20, warmup=3):
         t0 = time.perf_counter()
         jax.block_until_ready(fn(*args))
         ts.append(time.perf_counter() - t0)
-    return float(np.median(ts))
+    return float(np.median(ts)) / INNER
 
 
 def bench_visible_count(sizes=((1024, 2048), (4096, 8192), (16384, 16896))):
@@ -58,15 +63,24 @@ def bench_visible_count(sizes=((1024, 2048), (4096, 8192), (16384, 16896))):
         best = jnp.asarray(rng.random(L) < 0.3, jnp.float32)
         b = jnp.asarray(bounds, jnp.float32)
 
-        ref = jax.jit(matching.visible_count_reference)
+        def rep(kernel):
+            @jax.jit
+            def f(b, lon, lat, best):
+                acc = jnp.zeros((), jnp.float32)
+                for i in range(INNER):
+                    acc = acc + kernel(b + i * 1e-4, lon, lat,
+                                       best).sum().astype(jnp.float32)
+                return acc
+            return f
+
+        ref = rep(matching.visible_count_reference)
         t_ref = _time(ref, b, lon, lat, best)
         if on_tpu:
-            t_pal = _time(lambda *a: matching.visible_count(*a), b, lon, lat,
-                          best)
+            t_pal = _time(rep(matching.visible_count), b, lon, lat, best)
         else:
             t_pal = float("nan")
         # correctness cross-check
-        r = np.asarray(ref(b, lon, lat, best))
+        r = np.asarray(matching.visible_count_reference(b, lon, lat, best))
         if on_tpu:
             p = np.asarray(matching.visible_count(b, lon, lat, best))
             assert (r == p).all(), "pallas/XLA visibility mismatch"
@@ -93,14 +107,23 @@ def bench_assemble(sizes=((256, 8), (1024, 8), (4096, 8), (4096, 16))):
         r = jnp.asarray(rng.normal(size=(N, D, 2)), jnp.float32)
         w = jnp.asarray(rng.random((N, D)), jnp.float32)
 
-        ref = jax.jit(normal_eq.assemble_normal_eq_reference)
-        t_ref = _time(ref, J, r, w)
+        def rep(kernel):
+            @jax.jit
+            def f(J, r, w):
+                acc = jnp.zeros((), jnp.float32)
+                for i in range(INNER):
+                    G, g = kernel(J, r, w + i * 1e-4)
+                    acc = acc + G.sum() + g.sum()
+                return acc
+            return f
+
+        t_ref = _time(rep(normal_eq.assemble_normal_eq_reference), J, r, w)
         if on_tpu:
-            t_pal = _time(lambda *a: normal_eq.assemble_normal_eq(*a), J, r, w)
+            t_pal = _time(rep(normal_eq.assemble_normal_eq), J, r, w)
             Gp, gp = normal_eq.assemble_normal_eq(J, r, w)
         else:
             t_pal = float("nan")
-        Gr, gr = ref(J, r, w)
+        Gr, gr = normal_eq.assemble_normal_eq_reference(J, r, w)
         if on_tpu:
             np.testing.assert_allclose(np.asarray(Gp), np.asarray(Gr),
                                        rtol=2e-4, atol=2e-3)
