@@ -119,3 +119,52 @@ def test_sharded_step_batch_independent(rng):
     new_states, _ = step_fn(jnp.asarray(0), jnp.full((2,), 1e-4), sprob)
     np.testing.assert_allclose(np.asarray(new_states[0]),
                                np.asarray(new_states[1]), rtol=1e-12)
+
+
+def test_sharded_robust_scale_with_outliers(rng):
+    """The distributed median scale must keep the sharded path's outlier
+    robustness comparable to the single-chip median (a mean scale was
+    measured ~10x worse with 10% gross outliers)."""
+    n_knots, D = 16, 6
+    st, gaps, cum, lm, uv, conf, ii, lm_flat = _build_problem(rng, n_knots, D)
+    M = n_knots * D
+    out_idx = rng.choice(M, M // 10, replace=False)
+    uv = np.array(uv, copy=True)
+    uv[out_idx] += rng.uniform(200, 800, (len(out_idx), 2)) * rng.choice(
+        [-1, 1], (len(out_idx), 2))
+    uv = jnp.asarray(uv)
+    params = ba.SolverParams(num_hops=3, max_substep=100.0)
+
+    prob = ba.BAProblem(
+        gaps=gaps, cum_rot=cum, landmarks_xyz=lm_flat, landmarks_uv=uv,
+        conf=conf, ii=ii, obs_valid=jnp.ones(M),
+        knot_valid=jnp.ones(n_knots), pair_valid=jnp.ones(n_knots - 1),
+        intrinsics=INTR,
+    )
+    states_s, lam = st, jnp.asarray(1e-4)
+    for i in range(12):
+        step = ba.ba_iteration(jnp.asarray(i), states_s, prob, lam,
+                               params=params)
+        states_s, lam = step.states, step.lamda_init
+
+    mesh = mesh_mod.make_mesh(n_orbit=1, n_arc=4)
+    pv = np.ones((1, n_knots))
+    pv[:, -1] = 0.0
+    sprob = sharded_ba.ShardedProblem(
+        states=st[None], gaps=gaps[None], cum_rot=cum[None],
+        lm_xyz=jnp.array(lm)[None], uv=uv.reshape(n_knots, D, 2)[None],
+        conf=conf.reshape(n_knots, D)[None],
+        obs_valid=jnp.ones((1, n_knots, D)), pair_valid=jnp.array(pv),
+        intrinsics=INTR,
+    )
+    step_fn = sharded_ba.make_sharded_ba_step(mesh, params)
+    states_m, lam_b = sprob.states, jnp.full((1,), 1e-4)
+    for i in range(12):
+        states_m, lam_b = step_fn(jnp.asarray(i), lam_b,
+                                  sprob._replace(states=states_m))
+
+    d_pos = np.linalg.norm(
+        np.asarray(states_m)[0][:, :3] - np.asarray(states_s)[:, :3],
+        axis=-1)
+    # same robust optimum as the single-chip median-scale path
+    assert np.median(d_pos) < 0.5, f"median state gap {np.median(d_pos)} km"
