@@ -182,10 +182,31 @@ def main():
     if os.environ.get("BENCH_FULL_EVAL") == "1":
         # the reference's full evaluation: 16 random orbits over the 16
         # detector-active MGRS regions (od_pipe.py:1063-1086 +
-        # errors_eval.py) — region-based landmarks, no along-track guarantee
+        # errors_eval.py) — region-based landmarks, no along-track
+        # guarantee.  GT simulated in f64 on the CPU backend per orbit.
+        from vinsat_tpu.evalx import ate as _ate
+
         t0 = time.time()
-        summary = pipeline.run_batch_eval(list(range(16)),
-                                          duration_s=duration, cfg=cfg)
+        ev_errors, ev_times = [], []
+        for s in range(int(os.environ.get("BENCH_EVAL_ORBITS", 16))):
+            if on_tpu:
+                jax.config.update("jax_enable_x64", True)
+            try:
+                with jax.default_device(cpu0):
+                    sq = pipeline.simulate_sequence(s, duration_s=duration)
+            finally:
+                if on_tpu:
+                    jax.config.update("jax_enable_x64", False)
+            if len(sq.det_rows) == 0:
+                log(f"eval orbit {s}: no detections")
+                continue
+            r = pipeline.run_streaming(sq, seed=s, cfg=cfg)
+            if len(r.errors):
+                ev_errors.append(r.errors)
+                ev_times.append(r.times)
+                log(f"eval orbit {s}: min {r.errors.min():.2f} km "
+                    f"final {r.errors[-1]:.2f} km")
+        summary = _ate.summarize(ev_errors, ev_times)
         extra["full_eval"] = {k: (round(v, 3) if isinstance(v, float) else v)
                               for k, v in summary.items()}
         extra["full_eval_wall_s"] = round(time.time() - t0, 1)
