@@ -1,4 +1,6 @@
 """On-device detector training (flax/optax) + sliding-window detection."""
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -48,3 +50,33 @@ def test_training_batch_labels(rng):
     # patches are normalized
     norms = np.linalg.norm(np.asarray(x).reshape(512, -1), axis=1)
     np.testing.assert_allclose(norms[norms > 1e-3], 1.0, atol=1e-4)
+
+
+@pytest.mark.skipif(os.environ.get("VINSAT_SLOW_TESTS") != "1",
+                    reason="full-difficulty training takes ~5-10 min on CPU "
+                           "(set VINSAT_SLOW_TESTS=1); the result is also "
+                           "recorded in docs/BENCHMARKS.md from a TPU run")
+def test_trained_detector_full_difficulty(rng):
+    """The headline claim at FULL task difficulty (patch SNR ~1,
+    noise_sigma=0.15 vs unit-norm templates): 3000 training steps localize
+    every class to a few px."""
+    K, H, W, S = 10, 192, 192, 12
+    templates = imagery.make_landmark_templates(jax.random.PRNGKey(0), K, S)
+    det, loss = ld.train_detector(
+        jax.random.PRNGKey(1), templates, steps=3000, lr=2e-3,
+        noise_sigma=0.15,
+    )
+    pos = np.stack([rng.uniform(20, W - 20, K), rng.uniform(20, H - 20, K)],
+                   axis=1)
+    img = imagery.render_region_image(
+        jax.random.PRNGKey(2), H, W, templates, jnp.asarray(pos),
+        noise_sigma=0.15, amplitude=1.5,
+    )
+    rows = det.predict(np.asarray(img), conf_threshold=0.5,
+                       classes=np.arange(K))
+    good = 0
+    for cls, xc, yc, conf in rows:
+        err = np.hypot(xc - pos[int(cls), 0], yc - pos[int(cls), 1])
+        if err < 4.0:
+            good += 1
+    assert good >= K - 1, f"only {good}/{K} classes localized"

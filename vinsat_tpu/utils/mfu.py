@@ -71,7 +71,11 @@ def compiled_cost(jitted, *args) -> Dict[str, float]:
 
 
 def time_call(fn, *args, repeats: int = 10, warmup: int = 2) -> float:
-    """Median steady-state seconds per call (device-fenced)."""
+    """Median steady-state seconds per call (device-fenced).
+
+    NOTE: over the remote-TPU tunnel a single dispatch costs ~30 ms and
+    identical repeated calls can be served from a result cache, so per-op
+    device time must be measured with `time_looped` instead."""
     import jax
 
     for _ in range(warmup):
@@ -82,6 +86,44 @@ def time_call(fn, *args, repeats: int = 10, warmup: int = 2) -> float:
         jax.block_until_ready(fn(*args))
         ts.append(time.perf_counter() - t0)
     return float(np.median(ts))
+
+
+def make_looped(step_fn, chain_fn, R: int):
+    """Build a jitted program running `step_fn` R times with a DATA-DEPENDENT
+    carry (chain_fn folds each output back into the input), so the device
+    must genuinely execute R sequential instances — immune to dispatch
+    overhead, result caching, and loop-invariant hoisting."""
+    import jax
+
+    @jax.jit
+    def run(carry, *rest):
+        def body(_, c):
+            return chain_fn(c, step_fn(c, *rest))
+        return jax.lax.fori_loop(0, R, body, carry)
+
+    return run
+
+
+def time_looped(step_fn, chain_fn, carry, *rest, R: int = 64,
+                repeats: int = 5) -> float:
+    """Per-op device seconds: (t(R ops) - t(1 op)) / (R - 1)."""
+    import jax
+
+    run_R = make_looped(step_fn, chain_fn, R)
+    run_1 = make_looped(step_fn, chain_fn, 1)
+
+    def med(f):
+        jax.block_until_ready(f(carry, *rest))
+        ts = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            jax.block_until_ready(f(carry, *rest))
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts))
+
+    tR = med(run_R)
+    t1 = med(run_1)
+    return max(tR - t1, 1e-9) / (R - 1)
 
 
 def _example_problem(N: int, obs_per_knot: int, gap_s: float, dtype,
@@ -164,15 +206,23 @@ def stage_programs(params, dtype):
 
 
 def measure(N: int, obs_per_knot: int = 8, gap_s: float = 350.0,
-            dtype_str: str = "float32", repeats: int = 10,
+            dtype_str: str = "float32", repeats: int = 5, loop_R: int = 64,
             params=None) -> Dict[str, Dict[str, float]]:
-    """Measure all stages at one problem size.  Returns
-    {stage: {device_ms, gflops, gflops_per_s, gbytes, gbytes_per_s,
-             pct_peak_flops, pct_peak_bw}}."""
+    """Measure all stages at one problem size.
+
+    Per-op device time comes from `time_looped` (R data-chained instances
+    inside one jit, differenced against R=1) — the only scheme that survives
+    remote-tunnel dispatch overhead and result caching.  FLOP/byte counts
+    come from XLA cost_analysis of the single-op program (a static LOWER
+    bound: while/λ-loop bodies are counted once).
+
+    Returns {stage: {device_ms, gflops, gflops_per_s, gbytes, gbytes_per_s,
+                     pct_peak_flops, pct_peak_bw}}.
+    """
     import jax
     import jax.numpy as jnp
 
-    from vinsat_tpu.estimation import ba
+    from vinsat_tpu.estimation import ba, factors
 
     dtype = jnp.dtype(dtype_str)
     if params is None:
@@ -180,13 +230,12 @@ def measure(N: int, obs_per_knot: int = 8, gap_s: float = 350.0,
             num_hops=int(np.ceil(gap_s / 100.0)) + 1, max_substep=100.0)
     states, prob = _example_problem(N, obs_per_knot, gap_s, dtype)
     progs = stage_programs(params, dtype)
+    tiny = jnp.asarray(1e-30, dtype)
 
     peak_tflops, peak_gbs = chip_peaks()
     out: Dict[str, Dict[str, float]] = {}
 
-    def record(name, jitted, *args):
-        cost = compiled_cost(jitted, *args)
-        t = time_call(jitted, *args, repeats=repeats)
+    def record(name, t, cost):
         flops, bytes_ = cost["flops"], cost["bytes"]
         out[name] = {
             "device_ms": 1e3 * t,
@@ -198,16 +247,54 @@ def measure(N: int, obs_per_knot: int = 8, gap_s: float = 350.0,
             "pct_peak_bw": 100.0 * bytes_ / t / (peak_gbs * 1e9),
         }
 
-    record("factors", progs["factors"], states, prob)
-    record("assemble", progs["assemble"], states, prob)
-    # a representative normal-equation system for the solve stage
+    # ---- factors ---------------------------------------------------------
+    def factors_step(st, prob):
+        rp = factors.reprojection_factor(
+            st, prob.landmarks_xyz, prob.ii, prob.intrinsics)
+        dyn = factors.dynamics_factor(
+            st, prob.gaps, prob.cum_rot, params.quat_coeff, params.vel_coeff,
+            valid_pair=prob.pair_valid, num_hops=params.num_hops,
+            max_substep=params.max_substep, with_jacobian=True)
+        return (rp.uv.sum() + rp.J.sum() + dyn.res_pv.sum() + dyn.A.sum())
+
+    chain = (lambda st, s: st + tiny * s)
+    t = time_looped(factors_step, chain, states, prob, R=loop_R,
+                    repeats=repeats)
+    record("factors", t, compiled_cost(progs["factors"], states, prob))
+
+    # ---- assemble --------------------------------------------------------
+    def assemble_step(st, prob):
+        D, g = progs["assemble"].__wrapped__(st, prob)
+        return D.sum() + g.sum()
+
+    t = time_looped(assemble_step, chain, states, prob, R=loop_R,
+                    repeats=repeats)
+    record("assemble", t, compiled_cost(progs["assemble"], states, prob))
+
+    # ---- solve -----------------------------------------------------------
     D_blocks, g = progs["assemble"](states, prob)
     key = jax.random.PRNGKey(0)
     A = jax.random.normal(key, (N - 1, 9, 9), dtype) * 0.1
     U = jnp.einsum("tij,tkj->tik", A, A) * 0.01
     D_spd = D_blocks + 10.0 * jnp.eye(9, dtype=dtype)[None]
-    record("solve", progs["solve"], D_spd, U, g)
-    record("iteration", progs["iteration"], states, prob)
+
+    def solve_step(b, D, U):
+        return ba.jacobi_scaled_tridiag_solve(D, U, b)
+
+    t = time_looped(solve_step, (lambda b, x: b + tiny * x), g, D_spd, U,
+                    R=loop_R, repeats=repeats)
+    record("solve", t, compiled_cost(progs["solve"], D_spd, U, g))
+
+    # ---- full iteration (natural state chaining) -------------------------
+    def iter_step(st, prob):
+        step = ba.ba_iteration(jnp.asarray(2), st, prob,
+                               jnp.asarray(1e-4, dtype), params=params)
+        return step.states
+
+    t = time_looped(iter_step, (lambda st, out_st: out_st), states, prob,
+                    R=loop_R, repeats=repeats)
+    record("iteration", t,
+           compiled_cost(progs["iteration"], states, prob))
     return out
 
 
