@@ -197,3 +197,29 @@ def test_marginalized_checkpoint_resume(short_seq, tmp_path):
     resumed = stream_orbit(rows, short_seq.orbit_pos_eci_km, seed=3, cfg=cfg,
                            resume_from=f"{ck}.w0.npz")
     np.testing.assert_allclose(full.errors, resumed.errors, rtol=1e-10)
+
+
+def test_failure_recovery_rerun(short_seq, monkeypatch):
+    """A window solve that returns non-finite states triggers a
+    deterministic heavily-damped re-run; the stream completes finite."""
+    import vinsat_tpu.estimation.window as W
+
+    rows = _gapped_rows(short_seq)
+    orig = W.solve_window
+    poisoned = {"left": 1}
+
+    def flaky(st0, prob, lam, init_iters, num_iters, params, *a, **k):
+        out = orig(st0, prob, lam, init_iters, num_iters, params, *a, **k)
+        if poisoned["left"] > 0 and float(lam) < 1.0:
+            poisoned["left"] -= 1
+            import jax.numpy as jnp
+
+            return (out[0] * jnp.nan, out[1], out[2], out[3])
+        return out
+
+    monkeypatch.setattr(W, "solve_window", flaky)
+    res = W.stream_orbit(rows, short_seq.orbit_pos_eci_km, seed=3)
+    assert np.isfinite(res.errors).all()
+    assert np.isfinite(res.final_states).all()
+    assert res.errors[-1] < 5.0
+    assert poisoned["left"] == 0, "poisoned solve never triggered"

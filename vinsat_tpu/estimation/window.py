@@ -530,6 +530,20 @@ def stream_orbit(det_rows: np.ndarray, orbit_pos_eci_km: np.ndarray,
         init_iters = cfg.init_iters if w == 0 else 0
         extra_diag0: Optional[np.ndarray] = None
 
+        def attempt(solve_fn, warm):
+            """Failure detection + deterministic recovery (SURVEY §5): a
+            window solve that produces non-finite states is re-run from the
+            same warm start with heavy initial damping; if that also fails,
+            the warm start is kept and the stream continues (graceful
+            degradation instead of NaN propagation)."""
+            for lam0 in (lamda, 1e2):
+                o, ln, lh, mr = solve_fn(lam0)
+                if bool(np.isfinite(np.asarray(o)).all()):
+                    return o, ln, lh, mr
+            return (warm, jnp.asarray(cfg.lambda_init, jnp.dtype(dtype)),
+                    jnp.zeros((9, 9), jnp.dtype(dtype)),
+                    jnp.asarray(np.nan, jnp.dtype(dtype)))
+
         if sub_anchor is not None:
             # ---- bounded-memory solve over [anchor, t_final) -------------
             Nw = t_final - sub_anchor
@@ -562,9 +576,9 @@ def stream_orbit(det_rows: np.ndarray, orbit_pos_eci_km: np.ndarray,
                 jnp.asarray(prop_pad, jd), jnp.asarray(Hs_pad, jd),
                 jnp.asarray(Hr_pad, jd), jnp.asarray(val, jd),
             )
-            out_states, lam_new, last_h, mean_res = solve_window_reg(
-                st0, prob, prior, lamda, cfg.num_iters, solver
-            )
+            out_states, lam_new, last_h, mean_res = attempt(
+                lambda l0: solve_window_reg(st0, prob, prior, l0,
+                                            cfg.num_iters, solver), st0)
             out_np = np.asarray(out_states)[:Nw]
             cur_states = np.concatenate([cur_states[:-1], out_np], axis=0)
             extra_diag0 = H9c
@@ -593,14 +607,14 @@ def stream_orbit(det_rows: np.ndarray, orbit_pos_eci_km: np.ndarray,
                     jnp.asarray(prop_pad, jd), jnp.asarray(Hs_pad, jd),
                     jnp.asarray(Hr_pad, jd), jnp.asarray(val, jd),
                 )
-                out_states, lam_new, last_h, mean_res = solve_window_reg(
-                    st0, prob, prior, lamda, cfg.num_iters, solver
-                )
+                out_states, lam_new, last_h, mean_res = attempt(
+                    lambda l0: solve_window_reg(st0, prob, prior, l0,
+                                                cfg.num_iters, solver), st0)
             else:
-                out_states, lam_new, last_h, mean_res = solve_window(
-                    st0, prob, lamda, jnp.asarray(init_iters),
-                    cfg.num_iters, solver
-                )
+                out_states, lam_new, last_h, mean_res = attempt(
+                    lambda l0: solve_window(
+                        st0, prob, l0, jnp.asarray(init_iters),
+                        cfg.num_iters, solver), st0)
             cur_states = np.asarray(out_states)[:t_final]
 
         last_hessian = np.asarray(last_h)
