@@ -21,7 +21,6 @@ TPU-first design notes:
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import numpy as np

@@ -26,7 +26,6 @@ BENCHMARKS.md "sharded robust scale").
 """
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import jax

@@ -25,7 +25,7 @@ vision-only `initialize` short-circuit (BA_utils.py:463-466).
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Optional
 
 import jax
 import numpy as np

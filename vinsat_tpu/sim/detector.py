@@ -15,10 +15,9 @@ the pipeline converts to the global [frame, lon, lat, xc, yc, conf] rows.
 """
 from __future__ import annotations
 
-from typing import Callable, NamedTuple, Protocol, Tuple
+from typing import Callable, NamedTuple, Protocol
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 

@@ -12,7 +12,6 @@ real-imagery pipelines feeding a learned detector.
 """
 from __future__ import annotations
 
-import os
 from typing import Dict, NamedTuple, Optional, Tuple
 
 import numpy as np

@@ -24,9 +24,8 @@ Prints one JSON line per (stage, N).
 """
 from __future__ import annotations
 
-import functools
 import time
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 
