@@ -199,3 +199,48 @@ def test_auto_chunks():
         assert n % c == 0 and c * c <= n
     # odd sizes fall back to few chunks without breaking divisibility
     assert ba._auto_chunks(130) == 2
+
+
+def test_bcr_matches_thomas(rng):
+    """Block cyclic reduction is exact vs the Thomas scan (any N, padded
+    internally to a power of two)."""
+    import jax.numpy as jnp
+
+    from vinsat_tpu.estimation import ba
+
+    for N in (5, 16, 37, 129):
+        k = 9
+        A = rng.normal(size=(N, k, k))
+        D = np.einsum("nij,nkj->nik", A, A) + 8 * np.eye(k)
+        U = rng.normal(size=(N - 1, k, k)) * 0.4
+        b = rng.normal(size=(N, k))
+        x_ref = np.asarray(ba.block_tridiag_solve(
+            jnp.asarray(D), jnp.asarray(U), jnp.asarray(b)))
+        x_bcr = np.asarray(ba.block_tridiag_solve_bcr(
+            jnp.asarray(D), jnp.asarray(U), jnp.asarray(b)))
+        np.testing.assert_allclose(x_bcr, x_ref, rtol=1e-10, atol=1e-12)
+
+
+def test_bcr_f32_with_jacobi_scaling(rng):
+    """BCR stays accurate in f32 on realistically ill-scaled normal-equation
+    blocks once Jacobi-scaled (the TPU production configuration)."""
+    import jax.numpy as jnp
+
+    from vinsat_tpu.estimation import ba
+
+    N, k = 128, 9
+    # blocks spanning ~1e10 in magnitude like sigma-weighted dynamics terms
+    scales = 10.0 ** rng.uniform(0, 5, (N, k))
+    A = rng.normal(size=(N, k, k))
+    D = np.einsum("nij,nkj->nik", A, A) + 5 * np.eye(k)
+    D = D * scales[:, :, None] * scales[:, None, :]
+    U = rng.normal(size=(N - 1, k, k)) * 0.2
+    U = U * scales[:-1, :, None] * scales[1:, None, :] * 0.01
+    b = rng.normal(size=(N, k)) * scales
+    x64 = np.asarray(ba.jacobi_scaled_tridiag_solve(
+        jnp.asarray(D), jnp.asarray(U), jnp.asarray(b)))
+    x32 = np.asarray(ba.jacobi_scaled_tridiag_solve(
+        jnp.asarray(D, jnp.float32), jnp.asarray(U, jnp.float32),
+        jnp.asarray(b, jnp.float32)))
+    rel = np.abs(x32 - x64) / np.maximum(np.abs(x64), 1e-12)
+    assert np.median(rel) < 1e-3, f"median rel err {np.median(rel)}"

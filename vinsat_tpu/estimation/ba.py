@@ -163,7 +163,12 @@ def jacobi_scaled_tridiag_solve(D, U, b):
     Ds = D * s[:, :, None] * s[:, None, :]
     Us = U * s[:-1, :, None] * s[1:, None, :]
     bs = b * s
-    xs = block_tridiag_solve_chunked(Ds, Us, bs, _auto_chunks(D.shape[0]))
+    if D.shape[0] >= 64:
+        # log-depth cyclic reduction: the sequential scan is the measured
+        # latency bottleneck at production N (docs/BENCHMARKS.md MFU table)
+        xs = block_tridiag_solve_bcr(Ds, Us, bs)
+    else:
+        xs = block_tridiag_solve_chunked(Ds, Us, bs, _auto_chunks(D.shape[0]))
     return xs * s
 
 
@@ -282,6 +287,78 @@ def block_tridiag_solve_chunked(D, U, b, num_chunks: int):
         "cmij,cj->cmi", W, x_right
     )
     return x.reshape(N, k)
+
+
+def block_tridiag_solve_bcr(D, U, b):
+    """Block CYCLIC REDUCTION solve: sequential depth 2·log2(N) of fully
+    BATCHED 9x9 ops, vs the Thomas scan's N (or chunked SPIKE's N/C + 2C).
+
+    MFU measurement (docs/BENCHMARKS.md): at N=4096 the chunked-SPIKE solve
+    runs at 6% of HBM bandwidth and 0.02% of peak FLOPs — pure sequential
+    latency.  BCR trades 2x the FLOPs (still negligible) for log-depth
+    parallelism, which is exactly what the TPU wants.
+
+    Each level eliminates the odd block-rows in parallel:
+        D'_t = D_e[t] - U_oe[t-1]^T D_o[t-1]^{-1} U_oe[t-1]
+                      - U_eo[t]   D_o[t]^{-1}   U_eo[t]^T
+        U'_t = -U_eo[t] D_o[t]^{-1} U_oe[t]
+        b'_t = b_e[t] - U_oe[t-1]^T D_o[t-1]^{-1} b_o[t-1]
+                      - U_eo[t]   D_o[t]^{-1}   b_o[t]
+    then back-substitutes the odd unknowns level by level.  N is padded to a
+    power of two with identity diagonal blocks / zero couplings.
+    """
+    N, k, _ = D.shape
+    n = 1 << (max(N, 2) - 1).bit_length()  # next pow2 >= N (>= 2)
+    eye = jnp.eye(k, dtype=D.dtype)
+    Dp = jnp.broadcast_to(eye, (n, k, k)).at[:N].set(D)
+    Up = jnp.zeros((n, k, k), D.dtype).at[: N - 1].set(U)
+    bp = jnp.zeros((n, k), D.dtype).at[:N].set(b)
+
+    stack = []  # per level: (Dinv_Uoe, Dinv_UeoT, Dinv_b) for back-sub
+    while n > 1:
+        D_e, D_o = Dp[0::2], Dp[1::2]
+        U_eo = Up[0::2]  # even i -> odd i+1
+        U_oe = Up[1::2]  # odd o -> even o+1 (last entry is the zero pad)
+        b_e, b_o = bp[0::2], bp[1::2]
+
+        # one batched LU per odd row for all three right-hand sides
+        rhs = jnp.concatenate(
+            [U_oe, jnp.swapaxes(U_eo, -1, -2), b_o[..., None]], axis=-1
+        )
+        sol = jnp.linalg.solve(D_o, rhs)
+        Dinv_Uoe = sol[..., :k]            # D_o^{-1} U_oe
+        Dinv_UeoT = sol[..., k:2 * k]      # D_o^{-1} U_eo^T
+        Dinv_b = sol[..., 2 * k]           # D_o^{-1} b_o
+        stack.append((Dinv_Uoe, Dinv_UeoT, Dinv_b, U_eo, U_oe, b_o))
+
+        # right-neighbor contributions (odd o = 2t+1)
+        D_new = D_e - jnp.einsum("tij,tjk->tik", U_eo, Dinv_UeoT)
+        b_new = b_e - jnp.einsum("tij,tj->ti", U_eo, Dinv_b)
+        U_new = -jnp.einsum("tij,tjk->tik", U_eo, Dinv_Uoe)
+        # left-neighbor contributions (odd o = 2t-1), shifted by one
+        L_term = jnp.einsum("tji,tjk->tik", U_oe, Dinv_Uoe)  # U_oe^T Dinv U_oe
+        bL_term = jnp.einsum("tji,tj->ti", U_oe, Dinv_b)
+        D_new = D_new.at[1:].add(-L_term[:-1])
+        b_new = b_new.at[1:].add(-bL_term[:-1])
+
+        Dp, Up, bp = D_new, U_new, b_new
+        n //= 2
+
+    x = jnp.linalg.solve(Dp[0], bp[0])[None]  # (1, k)
+
+    for Dinv_Uoe, Dinv_UeoT, Dinv_b, U_eo, U_oe, b_o in reversed(stack):
+        m = Dinv_b.shape[0]
+        x_e = x  # (m, k) solved evens of this level
+        x_e_next = jnp.concatenate(
+            [x_e[1:], jnp.zeros((1, k), D.dtype)], axis=0
+        )
+        x_o = (Dinv_b
+               - jnp.einsum("tij,tj->ti", Dinv_UeoT, x_e)
+               - jnp.einsum("tij,tj->ti", Dinv_Uoe, x_e_next))
+        x = jnp.zeros((2 * m, k), D.dtype)
+        x = x.at[0::2].set(x_e).at[1::2].set(x_o)
+
+    return x[:N]
 
 
 def dense_from_blocks(D, U):
