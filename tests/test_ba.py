@@ -244,3 +244,28 @@ def test_bcr_f32_with_jacobi_scaling(rng):
         jnp.asarray(b, jnp.float32)))
     rel = np.abs(x32 - x64) / np.maximum(np.abs(x64), 1e-12)
     assert np.median(rel) < 1e-3, f"median rel err {np.median(rel)}"
+
+
+def test_gj_solve_small(rng):
+    """Unrolled Gauss-Jordan matches linalg.solve: SPD without pivoting,
+    general matrices with partial pivoting, any leading batch shape."""
+    import jax.numpy as jnp
+
+    from vinsat_tpu.estimation import ba
+
+    A = rng.normal(size=(17, 9, 9))
+    S = np.einsum("nij,nkj->nik", A, A) + 5 * np.eye(9)
+    B = rng.normal(size=(17, 9, 4))
+    np.testing.assert_allclose(
+        np.asarray(ba.gj_solve_small(jnp.asarray(S), jnp.asarray(B))),
+        np.linalg.solve(S, B), rtol=1e-9, atol=1e-11)
+    G = rng.normal(size=(6, 18, 18))  # general, needs pivoting
+    Bg = rng.normal(size=(6, 18, 2))
+    np.testing.assert_allclose(
+        np.asarray(ba.gj_solve_small(jnp.asarray(G), jnp.asarray(Bg),
+                                     pivot=True)),
+        np.linalg.solve(G, Bg), rtol=1e-8, atol=1e-10)
+    # unbatched
+    np.testing.assert_allclose(
+        np.asarray(ba.gj_solve_small(jnp.asarray(S[0]), jnp.asarray(B[0]))),
+        np.linalg.solve(S[0], B[0]), rtol=1e-9, atol=1e-11)

@@ -50,8 +50,10 @@ def cmd_stream(args):
 
     cfg = StreamingConfig(use_prior=args.use_prior,
                           marginalize=args.marginalize,
-                          use_ekf_hybrid=args.ekf_hybrid)
+                          use_ekf_hybrid=args.ekf_hybrid,
+                          track_nees=args.track_nees)
     errors, times = [], []
+    nees_infos, nees_est, nees_gt = [], [], []
     os.makedirs(args.out, exist_ok=True)
     from vinsat_tpu.estimation import ingest as _ingest
 
@@ -82,10 +84,30 @@ def cmd_stream(args):
                   file=sys.stderr)
         else:
             print(f"{sid}: no observations survived gating", file=sys.stderr)
+        if args.track_nees and res.window_infos is not None:
+            nees_infos.extend(res.window_infos)
+            nees_est.extend(res.window_est)
+            nees_gt.extend(res.window_gt)
     np.save(os.path.join(args.out, "errors.npy"),
             np.array(errors, dtype=object), allow_pickle=True)
     np.save(os.path.join(args.out, "times.npy"),
             np.array(times, dtype=object), allow_pickle=True)
+    if args.track_nees and nees_infos:
+        from vinsat_tpu.evalx import calibration
+
+        c = calibration.calibrate_inflation(nees_infos, nees_est, nees_gt)
+        f_pos, f_rot, f_vel = calibration.floors_from_inflation(nees_infos, c)
+        np.savez(os.path.join(args.out, "nees.npz"),
+                 infos=np.asarray(nees_infos), est=np.asarray(nees_est),
+                 gt=np.asarray(nees_gt))
+        print(json.dumps({
+            "nees_windows": len(nees_infos),
+            "covariance_inflation": c,
+            "recommended_floors": {
+                "prior_pos_floor_km": f_pos, "prior_rot_floor": f_rot,
+                "prior_vel_floor": f_vel,
+            },
+        }, indent=2))
 
 
 def cmd_fullbatch(args):
@@ -252,6 +274,10 @@ def main(argv=None):
                    help="write per-window checkpoints next to --out")
     s.add_argument("--resume-from", default=None,
                    help="checkpoint .npz to resume from")
+    s.add_argument("--track-nees", action="store_true",
+                   help="record per-window NEES and print covariance "
+                        "calibration (inflation factors + recommended "
+                        "prior floors; evalx/calibration.py)")
     s.set_defaults(fn=cmd_stream)
 
     s = sub.add_parser("fullbatch")

@@ -98,6 +98,40 @@ def robust_weights(r_obs, conf, obs_valid, sched_iter):
     return w * conf * obs_valid  # (M,)
 
 
+def gj_solve_small(A, B, pivot: bool = False):
+    """Batched small-block solve A x = B via UNROLLED Gauss-Jordan.
+
+    XLA lowers `jnp.linalg.solve` on many tiny blocks to a sequential LU
+    pivot loop that runs ~100x off bandwidth on TPU (measured on v5e:
+    4.9 ms for a batch of 2048 9x9 solves vs ~20 us of data movement;
+    cho_solve only 2x better).  k static pivot steps of fully batched
+    elementwise ops instead — linear in batch size, no per-element
+    sequential work.
+
+    A (..., k, k), B (..., k, r).  pivot=True adds partial (row) pivoting
+    with one batched argmax+gather per step; the Jacobi-scaled SPD blocks
+    on the solver hot path are safe without it (diagonal pivots are the
+    Schur-complement diagonals, bounded below by the scaled system's
+    smallest eigenvalue).
+    """
+    k = A.shape[-1]
+    M = jnp.concatenate([A, B], axis=-1)  # (..., k, k+r)
+    rows = jnp.arange(k)
+    for i in range(k):
+        if pivot:
+            col = jnp.abs(M[..., :, i])
+            col = jnp.where(rows < i, -jnp.inf, col)
+            p = jnp.argmax(col, axis=-1)  # (...,) best pivot row >= i
+            perm = jnp.where(rows == i, p[..., None],
+                             jnp.where(rows == p[..., None], i, rows))
+            M = jnp.take_along_axis(M, perm[..., :, None], axis=-2)
+        piv = M[..., i, i][..., None]
+        row_i = M[..., i, :] / piv  # (..., k+r)
+        M = M - M[..., :, i][..., None] * row_i[..., None, :]
+        M = M.at[..., i, :].set(row_i)
+    return M[..., k:]
+
+
 def block_tridiag_solve(D, U, b):
     """Solve the symmetric block-tridiagonal system
         [D_0 U_0          ] [x_0]   [b_0]
@@ -131,7 +165,7 @@ def block_tridiag_solve_blockrhs(D, U, B):
         Dt, Utm1, Ut, Bt = inp
         denom = Dt - Utm1.T @ C_prev
         rhs = jnp.concatenate([Ut, Bt - Utm1.T @ d_prev], axis=1)
-        sol = jnp.linalg.solve(denom, rhs)
+        sol = gj_solve_small(denom, rhs)
         C_t, d_t = sol[:, :k], sol[:, k:]
         return (C_t, d_t), (C_t, d_t)
 
@@ -163,12 +197,20 @@ def jacobi_scaled_tridiag_solve(D, U, b):
     Ds = D * s[:, :, None] * s[:, None, :]
     Us = U * s[:-1, :, None] * s[1:, None, :]
     bs = b * s
-    if D.shape[0] >= 64:
-        # log-depth cyclic reduction: the sequential scan is the measured
-        # latency bottleneck at production N (docs/BENCHMARKS.md MFU table)
+    N = D.shape[0]
+    # log-depth cyclic reduction: the sequential scan is the measured
+    # latency bottleneck at production N (docs/BENCHMARKS.md MFU table);
+    # BCR measures 5-8x faster than the chunked scan on v5e at N=64..512.
+    # Above ~1024 the deep BCR graph hits an XLA composition pathology
+    # (141 ms at N=4096 while every constituent op measures <0.25 ms) —
+    # the chunked SPIKE scan wins there.  Below 64 the plain Thomas scan
+    # is kept: it measures no slower in the full-iteration context, and
+    # it keeps the single-chip solve algorithm-identical to the sharded
+    # SPIKE path at the sizes test_sharded_ba pins bit-for-bit.
+    if 64 <= N < 1024:
         xs = block_tridiag_solve_bcr(Ds, Us, bs)
     else:
-        xs = block_tridiag_solve_chunked(Ds, Us, bs, _auto_chunks(D.shape[0]))
+        xs = block_tridiag_solve_chunked(Ds, Us, bs, _auto_chunks(N))
     return xs * s
 
 
@@ -201,7 +243,9 @@ def _tridiag_general(Dr, Ur, Lr, br):
         Dt, Lt, Ut, bt = inp
         denom = Dt - Lt @ C_prev
         rhs = jnp.concatenate([Ut, (bt - Lt @ d_prev)[:, None]], axis=1)
-        sol = jnp.linalg.solve(denom, rhs)
+        # the general (SPIKE-reduced) blocks are near-identity but not SPD:
+        # keep partial pivoting (cost: C tiny gathers per solve)
+        sol = gj_solve_small(denom, rhs, pivot=True)
         return (sol[:, :k], sol[:, k]), (sol[:, :k], sol[:, k])
 
     # init carry from Lr (not Dr): when this runs inside shard_map the
@@ -289,9 +333,13 @@ def block_tridiag_solve_chunked(D, U, b, num_chunks: int):
     return x.reshape(N, k)
 
 
-def block_tridiag_solve_bcr(D, U, b):
-    """Block CYCLIC REDUCTION solve: sequential depth 2·log2(N) of fully
-    BATCHED 9x9 ops, vs the Thomas scan's N (or chunked SPIKE's N/C + 2C).
+def block_tridiag_solve_bcr(D, U, b, base: int = 1):
+    """Block CYCLIC REDUCTION solve: sequential depth 2·log2(N/base) + base
+    of fully BATCHED 9x9 ops, vs the Thomas scan's N (or chunked SPIKE's
+    N/C + 2C).  With `gj_solve_small` the per-level cost is pure batched
+    elementwise work, so recursing all the way down (base=1) measures
+    fastest on v5e; `base>1` stops early and finishes the reduced system
+    with one Thomas scan.
 
     MFU measurement (docs/BENCHMARKS.md): at N=4096 the chunked-SPIKE solve
     runs at 6% of HBM bandwidth and 0.02% of peak FLOPs — pure sequential
@@ -315,7 +363,7 @@ def block_tridiag_solve_bcr(D, U, b):
     bp = jnp.zeros((n, k), D.dtype).at[:N].set(b)
 
     stack = []  # per level: (Dinv_Uoe, Dinv_UeoT, Dinv_b) for back-sub
-    while n > 1:
+    while n > max(base, 1):
         D_e, D_o = Dp[0::2], Dp[1::2]
         U_eo = Up[0::2]  # even i -> odd i+1
         U_oe = Up[1::2]  # odd o -> even o+1 (last entry is the zero pad)
@@ -325,7 +373,7 @@ def block_tridiag_solve_bcr(D, U, b):
         rhs = jnp.concatenate(
             [U_oe, jnp.swapaxes(U_eo, -1, -2), b_o[..., None]], axis=-1
         )
-        sol = jnp.linalg.solve(D_o, rhs)
+        sol = gj_solve_small(D_o, rhs)
         Dinv_Uoe = sol[..., :k]            # D_o^{-1} U_oe
         Dinv_UeoT = sol[..., k:2 * k]      # D_o^{-1} U_eo^T
         Dinv_b = sol[..., 2 * k]           # D_o^{-1} b_o
@@ -344,7 +392,10 @@ def block_tridiag_solve_bcr(D, U, b):
         Dp, Up, bp = D_new, U_new, b_new
         n //= 2
 
-    x = jnp.linalg.solve(Dp[0], bp[0])[None]  # (1, k)
+    if n == 1:
+        x = gj_solve_small(Dp[0], bp[0][:, None])[:, 0][None]  # (1, k)
+    else:
+        x = block_tridiag_solve(Dp, Up[:-1], bp)  # (base, k) Thomas scan
 
     for Dinv_Uoe, Dinv_UeoT, Dinv_b, U_eo, U_oe, b_o in reversed(stack):
         m = Dinv_b.shape[0]

@@ -162,6 +162,12 @@ class StreamingResult(NamedTuple):
     first_detection: int
     final_states: np.ndarray  # (N, 10) final optimized knot states
     knot_times: np.ndarray  # (N,)
+    # NEES tracking (cfg.track_nees): per-window terminal marginal info,
+    # estimated terminal state, GT terminal state — the triples
+    # evalx/calibration.calibrate_inflation consumes
+    window_infos: Optional[np.ndarray] = None  # (W, 9, 9)
+    window_est: Optional[np.ndarray] = None  # (W, 10)
+    window_gt: Optional[np.ndarray] = None  # (W, 10)
 
 
 class StreamingConfig(NamedTuple):
@@ -204,6 +210,10 @@ class StreamingConfig(NamedTuple):
     # measurement-noise dial (od_pipe.py:941-942): 1.0 = real detections,
     # 0.0 = perfect GT reprojections; interpolates in between
     noise_level: float = 1.0
+    # record per-window terminal marginal + NEES samples for covariance
+    # calibration (evalx/calibration.py); adds one Schur-complement solve
+    # per window on the prefix path (the bounded path computes it anyway)
+    track_nees: bool = False
 
 
 _marginal_info_jit = jax.jit(
@@ -383,6 +393,10 @@ def stream_orbit(det_rows: np.ndarray, orbit_pos_eci_km: np.ndarray,
     i_prev = 0
     max_hops = int(np.ceil(gaps.max() / solver.max_substep)) + 1
     solver = solver._replace(num_hops=max(solver.num_hops, max_hops))
+
+    nees_infos: List[np.ndarray] = []
+    nees_est: List[np.ndarray] = []
+    nees_gt: List[np.ndarray] = []
 
     start_w = 0
     if resume_from is not None:
@@ -622,15 +636,35 @@ def stream_orbit(det_rows: np.ndarray, orbit_pos_eci_km: np.ndarray,
         t_prev = t_final
         i_prev = i_final
 
-        if bounded:
+        if bounded or cfg.track_nees:
             # honest terminal marginal information for the next window's
             # anchor prior (Schur complement over the just-solved window)
             extra = np.zeros((prob.gaps.shape[0], 9, 9))
             if extra_diag0 is not None:
                 extra[0] = extra_diag0
-            marg_info = np.asarray(_marginal_info_jit(
+            info_w = np.asarray(_marginal_info_jit(
                 out_states, prob, solver, extra_diag=jnp.asarray(extra, jd)
             ), dtype=np.float64)
+            if bounded:
+                marg_info = info_w
+            if cfg.track_nees:
+                nees_infos.append(info_w)
+                nees_est.append(cur_states[-1].copy())
+                gt_t = gt.states[t_final - 1].copy()
+                # gt.states' knot velocities are forward differences and the
+                # SEQUENCE-final knot has none (zero pad) — use the central
+                # difference of the 1 Hz GT orbit instead
+                ti = int(knot_t[t_final - 1])
+                lo = max(ti - 1, 0)
+                hi = min(ti + 1, orbit_pos_eci_km.shape[0] - 1)
+                gt_t[7:10] = ((orbit_pos_eci_km[hi] - orbit_pos_eci_km[lo])
+                              / max(hi - lo, 1))
+                nees_gt.append(gt_t)
+                if metrics is not None:
+                    from vinsat_tpu.evalx import calibration
+
+                    metrics.log("nees", window=w, **calibration.block_nees(
+                        nees_est[-1], nees_gt[-1], info_w))
 
         end_err = np.linalg.norm(
             cur_states[-1:, :3] - gt.states[t_final - 1:t_final, :3], axis=-1
@@ -670,4 +704,7 @@ def stream_orbit(det_rows: np.ndarray, orbit_pos_eci_km: np.ndarray,
         first_detection=first_detection,
         final_states=cur_states,
         knot_times=knot_t[:t_prev],
+        window_infos=np.asarray(nees_infos) if nees_infos else None,
+        window_est=np.asarray(nees_est) if nees_est else None,
+        window_gt=np.asarray(nees_gt) if nees_gt else None,
     )
