@@ -108,3 +108,31 @@ def test_stream_orbit_nees_tracking():
     f_pos, f_rot, f_vel = calibration.floors_from_inflation(
         res.window_infos, c)
     assert f_vel > 0.0
+
+
+def test_auto_calibrated_anchor_prior():
+    """auto_calibrate=True (bounded mode): once enough NEES windows exist,
+    the anchor prior switches from static floors to the measured inflation
+    factors.  The mechanism must engage (anchor informations differ from
+    the static-floor run after min_windows) and keep the stream in the
+    same accuracy class."""
+    from vinsat_tpu import pipeline
+    from vinsat_tpu.estimation.window import StreamingConfig, stream_orbit
+
+    seq = pipeline.simulate_sequence(1, duration_s=3600, along_track=True,
+                                     frame_stride=10, pass_every_s=900,
+                                     pass_len_s=300)
+    rows = seq.det_rows
+    base = StreamingConfig(marginalize=True, track_nees=True)
+    static = stream_orbit(rows, seq.orbit_pos_eci_km, seed=1, cfg=base)
+    auto = stream_orbit(
+        rows, seq.orbit_pos_eci_km, seed=1,
+        cfg=base._replace(auto_calibrate=True, auto_calibrate_min_windows=2))
+    assert static.window_infos is not None and len(static.window_infos) >= 3
+    assert len(auto.window_infos) == len(static.window_infos)
+    # calibration engaged: some post-min_windows anchor marginal differs
+    assert not np.allclose(auto.window_infos[2:], static.window_infos[2:])
+    # and the stream stays healthy
+    assert np.isfinite(auto.errors).all()
+    assert auto.errors[-1] < max(3.0 * static.errors[-1], 2.0), (
+        auto.errors[-1], static.errors[-1])

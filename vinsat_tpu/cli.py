@@ -51,7 +51,8 @@ def cmd_stream(args):
     cfg = StreamingConfig(use_prior=args.use_prior,
                           marginalize=args.marginalize,
                           use_ekf_hybrid=args.ekf_hybrid,
-                          track_nees=args.track_nees)
+                          track_nees=args.track_nees,
+                          auto_calibrate=args.auto_calibrate)
     errors, times = [], []
     nees_infos, nees_est, nees_gt = [], [], []
     os.makedirs(args.out, exist_ok=True)
@@ -278,6 +279,10 @@ def main(argv=None):
                    help="record per-window NEES and print covariance "
                         "calibration (inflation factors + recommended "
                         "prior floors; evalx/calibration.py)")
+    s.add_argument("--auto-calibrate", action="store_true",
+                   help="self-calibrating anchor prior (bounded modes): "
+                        "inflate by the measured NEES factors instead of "
+                        "the static floors once enough windows exist")
     s.set_defaults(fn=cmd_stream)
 
     s = sub.add_parser("fullbatch")

@@ -214,6 +214,16 @@ class StreamingConfig(NamedTuple):
     # calibration (evalx/calibration.py); adds one Schur-complement solve
     # per window on the prefix path (the bounded path computes it anyway)
     track_nees: bool = False
+    # GT-in-the-loop SELF-CALIBRATING anchor prior (bounded modes only):
+    # once >= auto_calibrate_min_windows NEES samples exist, the anchor
+    # information is inflated by the measured per-block factors
+    # (calibration.apply_inflation, clamped >= 1 — never deflate below the
+    # CRLB) instead of the static prior_*_floor values.  This targets
+    # covariance CONSISTENCY (mean block NEES == dof); it is a calibration
+    # harness for simulation runs with known GT — use the derived factors/
+    # floors to configure GT-free production streams.
+    auto_calibrate: bool = False
+    auto_calibrate_min_windows: int = 3
 
 
 _marginal_info_jit = jax.jit(
@@ -437,6 +447,21 @@ def stream_orbit(det_rows: np.ndarray, orbit_pos_eci_km: np.ndarray,
 
     jd = jnp.dtype(dtype)
     bounded = cfg.marginalize or cfg.use_ekf_hybrid
+    track = cfg.track_nees or (cfg.auto_calibrate and bounded)
+
+    def anchor_info(H9: np.ndarray) -> np.ndarray:
+        """Inflated anchor-prior information: measured NEES factors once
+        auto-calibration has enough windows, static floors otherwise."""
+        if (cfg.auto_calibrate
+                and len(nees_infos) >= cfg.auto_calibrate_min_windows):
+            from vinsat_tpu.evalx import calibration
+
+            c = calibration.calibrate_inflation(nees_infos, nees_est,
+                                                nees_gt)
+            c = {k: max(v, 1.0) for k, v in c.items()}
+            return calibration.apply_inflation(H9, c)
+        return ba.inflate_info(H9, cfg.prior_pos_floor_km,
+                               cfg.prior_rot_floor, cfg.prior_vel_floor)
 
     def compose_prior_blocks(H9: np.ndarray):
         """Split a 9x9 [pos, phi, vel] information matrix into the
@@ -503,10 +528,7 @@ def stream_orbit(det_rows: np.ndarray, orbit_pos_eci_km: np.ndarray,
                          - knot_t[t_init - 1:t_final - 1]).max()
                     )
                     hops = int(np.ceil(gap_max / solver.max_substep)) + 1
-                    info0 = ba.inflate_info(
-                        marg_info, cfg.prior_pos_floor_km,
-                        cfg.prior_rot_floor, cfg.prior_vel_floor,
-                    )
+                    info0 = anchor_info(marg_info)
                     new_states, _ = hybrid.ekf_refine_window(
                         cur_states[-1], info0, knot_t, t_init, t_final,
                         cum_rot, graph, gt, np.asarray(intr), dtype,
@@ -572,10 +594,7 @@ def stream_orbit(det_rows: np.ndarray, orbit_pos_eci_km: np.ndarray,
                 graph.ii[i_prev:i_final] - sub_anchor, n_pad, m_pad, dtype,
                 intrinsics=np.asarray(intr),
             )
-            H9_infl = ba.inflate_info(
-                marg_info, cfg.prior_pos_floor_km, cfg.prior_rot_floor,
-                cfg.prior_vel_floor,
-            )
+            H9_infl = anchor_info(marg_info)
             Hs0, Hr0, H9c = compose_prior_blocks(H9_infl)
             prop_pad = np.zeros((n_pad, 10))
             prop_pad[:, 6] = 1.0
@@ -636,7 +655,7 @@ def stream_orbit(det_rows: np.ndarray, orbit_pos_eci_km: np.ndarray,
         t_prev = t_final
         i_prev = i_final
 
-        if bounded or cfg.track_nees:
+        if bounded or track:
             # honest terminal marginal information for the next window's
             # anchor prior (Schur complement over the just-solved window)
             extra = np.zeros((prob.gaps.shape[0], 9, 9))
@@ -647,7 +666,7 @@ def stream_orbit(det_rows: np.ndarray, orbit_pos_eci_km: np.ndarray,
             ), dtype=np.float64)
             if bounded:
                 marg_info = info_w
-            if cfg.track_nees:
+            if track:
                 nees_infos.append(info_w)
                 nees_est.append(cur_states[-1].copy())
                 gt_t = gt.states[t_final - 1].copy()
