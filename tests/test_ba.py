@@ -269,3 +269,57 @@ def test_gj_solve_small(rng):
     np.testing.assert_allclose(
         np.asarray(ba.gj_solve_small(jnp.asarray(S[0]), jnp.asarray(B[0]))),
         np.linalg.solve(S[0], B[0]), rtol=1e-9, atol=1e-11)
+
+
+def test_batched_lambda_matches_sequential(rng):
+    """batched_lambda=K selects the same λ and (to fp tolerance) the same
+    states as the sequential while_loop, across iterations that both accept
+    immediately and iterations that escalate λ."""
+    states_gt, prob = _make_problem(rng, noise_px=1.0)
+    n = states_gt.shape[0]
+    pos0 = states_gt[:, :3] + jnp.array(rng.normal(size=(n, 3)) * 10.0)
+    q0 = quat.box_plus(states_gt[:, 3:7],
+                       jnp.array(rng.normal(size=(n, 3)) * 0.02))
+    vel0 = states_gt[:, 7:] * (1 + jnp.array(rng.normal(size=(n, 3)) * 0.01))
+    states_s = jnp.concatenate([pos0, q0, vel0], axis=-1)
+    states_b = states_s
+
+    p_seq = ba.SolverParams()
+    p_bat = ba.SolverParams(batched_lambda=9)
+    lam_s = lam_b = jnp.asarray(1e-4)
+    for it in range(8):
+        st_s = ba.ba_iteration(jnp.asarray(it), states_s, prob, lam_s,
+                               params=p_seq)
+        st_b = ba.ba_iteration(jnp.asarray(it), states_b, prob, lam_b,
+                               params=p_bat)
+        # identical λ bookkeeping (the search must pick the same candidate)
+        np.testing.assert_allclose(float(st_s.lamda_init),
+                                   float(st_b.lamda_init), rtol=1e-12)
+        np.testing.assert_allclose(np.asarray(st_s.states),
+                                   np.asarray(st_b.states),
+                                   rtol=1e-6, atol=1e-8)
+        states_s, lam_s = st_s.states, st_s.lamda_init
+        states_b, lam_b = st_b.states, st_b.lamda_init
+
+
+def test_batched_lambda_escalates(rng):
+    """A deliberately bad linearization (huge λ_init would accept at once;
+    tiny λ with an overshooting step must escalate): both searches walk the
+    same λ ladder and land on the same rung."""
+    states_gt, prob = _make_problem(rng, noise_px=30.0, n_knots=5)
+    n = states_gt.shape[0]
+    # large perturbation makes the first GN trial overshoot at small λ
+    pos0 = states_gt[:, :3] + jnp.array(rng.normal(size=(n, 3)) * 300.0)
+    q0 = quat.box_plus(states_gt[:, 3:7],
+                       jnp.array(rng.normal(size=(n, 3)) * 0.3))
+    vel0 = states_gt[:, 7:] * (1 + jnp.array(rng.normal(size=(n, 3)) * 0.2))
+    states = jnp.concatenate([pos0, q0, vel0], axis=-1)
+
+    st_s = ba.ba_iteration(jnp.asarray(3), states, prob, jnp.asarray(1e-4),
+                           params=ba.SolverParams())
+    st_b = ba.ba_iteration(jnp.asarray(3), states, prob, jnp.asarray(1e-4),
+                           params=ba.SolverParams(batched_lambda=9))
+    np.testing.assert_allclose(float(st_s.lamda_init),
+                               float(st_b.lamda_init), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(st_s.states),
+                               np.asarray(st_b.states), rtol=1e-6, atol=1e-8)

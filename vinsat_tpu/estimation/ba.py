@@ -64,6 +64,13 @@ class SolverParams(NamedTuple):
     lambda_growth: float = 10.0
     num_hops: int = 16
     max_substep: float = 100.0
+    # 0 = sequential λ escalation (reference-exact while_loop); K > 0 =
+    # evaluate K λ candidates λ0·g^k in ONE vmapped solve+trial and select
+    # the first accepted — same acceptance semantics, sequential depth of a
+    # single trial.  K must cover the λ range: ceil(log_g(λ_max/1e-4)) + 1
+    # = 9 at the default schedule (λ0 is clamped to ≥ 1e-4 between
+    # iterations, window.py resets to lambda_init = 1e-4).
+    batched_lambda: int = 0
 
 
 def _masked_median(x, valid):
@@ -432,6 +439,70 @@ class BAStep(NamedTuple):
     mean_residual: jnp.ndarray  # diagnostic
 
 
+def _lambda_search(solve_with, trial_residual, init_residual, lamda0,
+                   states, params: SolverParams):
+    """The LM damping search shared by ba_iteration / ba_reg_iteration.
+
+    Reference semantics (BA_filtering.py:50-79): try λ, accept iff the
+    trial residual drops below the linearization-point residual, else
+    λ ×= growth, capped at λ_max; the first trial always runs.  Returns
+    (states_new, lamda_used, lamda_exit, trial_res) where lamda_exit is
+    the loop-exit λ (accepted λ × growth) feeding the next iteration's
+    warm λ.
+
+    Two implementations with identical acceptance logic:
+      * params.batched_lambda == 0 — the reference-exact sequential
+        while_loop (one solve + one full residual re-evaluation per trial).
+      * params.batched_lambda == K — all K candidates λ0·gᵏ solved and
+        re-evaluated in ONE vmapped program; the first accepted (or, with
+        none accepted, the last ≤ λ_max) is selected.  Sequential depth of
+        a single trial; K× the FLOPs — pure batch width on a TPU, where
+        the sequential trial chain is latency, not throughput.  Candidate
+        λ values come from a cumulative-multiply scan, so they equal the
+        while_loop's repeated products bit for bit.
+    """
+    K = params.batched_lambda
+    if K <= 0:
+        def cond(carry):
+            lamda, done, _, _, _ = carry
+            return jnp.logical_and(jnp.logical_not(done),
+                                   lamda <= params.lambda_max)
+
+        def body(carry):
+            lamda, _, _, _, _ = carry
+            states_new = solve_with(lamda)
+            trial = trial_residual(states_new)
+            accepted = trial < init_residual
+            return (lamda * params.lambda_growth, accepted, states_new,
+                    lamda, trial)
+
+        first = body((lamda0, jnp.asarray(False), states, lamda0, lamda0))
+        lamda_f, _, states_new, lamda_used, trial_res = jax.lax.while_loop(
+            cond, body, first
+        )
+        return states_new, lamda_used, lamda_f, trial_res
+
+    def mul(c, _):
+        c2 = c * params.lambda_growth
+        return c2, c2
+
+    _, rest = jax.lax.scan(mul, lamda0, None, length=K - 1)
+    lamdas = jnp.concatenate([lamda0[None], rest])  # (K,)
+
+    def one(lamda):
+        states_new = solve_with(lamda)
+        return states_new, trial_residual(states_new)
+
+    states_c, trials = jax.vmap(one)(lamdas)  # (K, N, 10), (K,)
+    valid = (jnp.arange(K) == 0) | (lamdas <= params.lambda_max)
+    accepted = valid & (trials < init_residual)
+    first_acc = jnp.argmax(accepted)
+    last_valid = K - 1 - jnp.argmax(valid[::-1])
+    j = jnp.where(accepted.any(), first_acc, last_valid)
+    return (states_c[j], lamdas[j], lamdas[j] * params.lambda_growth,
+            trials[j])
+
+
 def _residual_means(r_obs_w, r_pred_flat, obs_valid, pair_valid, sigma,
                     pred_dim):
     """mean |[r_obs ; r_pred*sqrt(Sigma)]| with padding-aware counts
@@ -547,24 +618,9 @@ def ba_iteration(sched_iter, states, prob: BAProblem, lamda_init,
         dpose = jacobi_scaled_tridiag_solve(Dl, U, JTr)
         return retract(dpose)
 
-    def cond(carry):
-        lamda, done, _, _, _ = carry
-        return jnp.logical_and(jnp.logical_not(done),
-                               lamda <= params.lambda_max)
-
-    def body(carry):
-        lamda, _, _, _, _ = carry
-        states_new = solve_with(lamda)
-        trial = trial_residual(states_new)
-        accepted = trial < init_residual
-        return (lamda * params.lambda_growth, accepted, states_new, lamda,
-                trial)
-
     lamda0 = jnp.asarray(lamda_init, dtype=dtype)
-    # run at least one trial
-    first = body((lamda0, jnp.asarray(False), states, lamda0, lamda0))
-    lamda_f, done, states_new, lamda_used, trial_res = jax.lax.while_loop(
-        cond, body, first
+    states_new, lamda_used, lamda_f, trial_res = _lambda_search(
+        solve_with, trial_residual, init_residual, lamda0, states, params
     )
 
     lamda_init_new = jnp.maximum(jnp.minimum(1e-1, lamda_f * 0.01), 1e-4)
@@ -848,22 +904,9 @@ def ba_reg_iteration(sched_iter, states, prob: BAProblem, prior, lamda_init,
         dpose = jacobi_scaled_tridiag_solve(Dl, U, JTr)
         return retract(dpose)
 
-    def cond(carry):
-        lamda, done, _, _, _ = carry
-        return jnp.logical_and(jnp.logical_not(done),
-                               lamda <= params.lambda_max)
-
-    def body(carry):
-        lamda, _, _, _, _ = carry
-        states_new = solve_with(lamda)
-        trial = trial_residual(states_new)
-        return (lamda * params.lambda_growth, trial < init_residual,
-                states_new, lamda, trial)
-
     lamda0 = jnp.asarray(lamda_init, dtype=dtype)
-    first = body((lamda0, jnp.asarray(False), states, lamda0, lamda0))
-    lamda_f, done, states_new, lamda_used, trial_res = jax.lax.while_loop(
-        cond, body, first
+    states_new, lamda_used, lamda_f, trial_res = _lambda_search(
+        solve_with, trial_residual, init_residual, lamda0, states, params
     )
     lamda_init_new = jnp.maximum(jnp.minimum(1e-1, lamda_f * 0.01), 1e-4)
     idx_last = jnp.maximum(prob.knot_valid.sum().astype(jnp.int32) - 1, 0)

@@ -307,6 +307,9 @@ def main(argv=None):
     ap.add_argument("--dtype", default=None,
                     help="default: f32 on accelerators, f64 on cpu")
     ap.add_argument("--repeats", type=int, default=10)
+    ap.add_argument("--batched-lambda", type=int, default=0,
+                    help="SolverParams.batched_lambda for the iteration "
+                         "stage (0 = sequential while_loop)")
     args = ap.parse_args(argv)
 
     import jax
@@ -325,9 +328,18 @@ def main(argv=None):
         "peak_tflops_bf16": peak_tflops, "peak_hbm_gbs": peak_gbs,
         "dtype": args.dtype,
     }))
+    from vinsat_tpu.estimation import ba as _ba
+
     for n in [int(s) for s in args.sizes.split(",")]:
+        params = None
+        if args.batched_lambda:
+            gap_s = 350.0
+            params = _ba.SolverParams(
+                num_hops=int(np.ceil(gap_s / 100.0)) + 1, max_substep=100.0,
+                batched_lambda=args.batched_lambda)
         rep = measure(n, obs_per_knot=args.obs_per_knot,
-                      dtype_str=args.dtype, repeats=args.repeats)
+                      dtype_str=args.dtype, repeats=args.repeats,
+                      params=params)
         for stage, row in rep.items():
             print(json.dumps({
                 "N": n, "stage": stage,
