@@ -105,18 +105,46 @@ def make_looped(step_fn, chain_fn, R: int):
 
 def time_looped(step_fn, chain_fn, carry, *rest, R: int = 64,
                 repeats: int = 5) -> float:
-    """Per-op device seconds: (t(R ops) - t(1 op)) / (R - 1)."""
+    """Per-op device seconds: (t(R ops) - t(1 op)) / (R - 1).
+
+    Two tunnel hazards (measured on the axon remote backend) shape this:
+      * repeated calls with IDENTICAL argument values can be served from a
+        client-side result cache (zero device work) — every timed call gets
+        a distinct input via a tiny multiplicative salt on the first
+        floating carry leaf;
+      * `block_until_ready` can return before the remote computation is
+        actually complete — completion is forced by a true device→host
+        fetch (`np.asarray`) of every output leaf.  The fetch/dispatch cost
+        is identical for the R-op and 1-op programs, so it cancels in the
+        difference.
+    """
     import jax
+    import jax.numpy as jnp
 
     run_R = make_looped(step_fn, chain_fn, R)
     run_1 = make_looped(step_fn, chain_fn, 1)
 
+    def salted(i):
+        leaves, treedef = jax.tree_util.tree_flatten(carry)
+        for j, x in enumerate(leaves):
+            if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.inexact):
+                leaves[j] = x * (1.0 + 1e-7 * i)
+                break
+        return jax.tree_util.tree_unflatten(treedef, leaves)
+
+    def fetch(out):
+        for x in jax.tree_util.tree_leaves(out):
+            if hasattr(x, "dtype"):
+                np.asarray(x)
+
     def med(f):
-        jax.block_until_ready(f(carry, *rest))
+        fetch(f(carry, *rest))  # warm-up / compile
         ts = []
-        for _ in range(repeats):
+        for i in range(1, repeats + 1):
+            c = salted(i)
+            fetch(c)  # materialize the salted input before the clock
             t0 = time.perf_counter()
-            jax.block_until_ready(f(carry, *rest))
+            fetch(f(c, *rest))
             ts.append(time.perf_counter() - t0)
         return float(np.median(ts))
 
