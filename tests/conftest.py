@@ -24,8 +24,12 @@ jax.config.update("jax_enable_x64", True)
 
 # Persistent compilation cache: the suite is compile-bound (scan-heavy
 # solvers); repeat runs hit the cache and finish in a fraction of the time.
-_cache_dir = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
-os.makedirs(_cache_dir, exist_ok=True)
+# Keyed per host-CPU-fingerprint: XLA:CPU AOT entries from a different
+# host's feature set segfault on load (utils/cache.py).
+from vinsat_tpu.utils.cache import cache_dir as _host_cache_dir  # noqa: E402
+
+_cache_dir = _host_cache_dir(
+    os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

@@ -22,20 +22,25 @@ import numpy as np
 
 def cmd_simulate(args):
     from vinsat_tpu import pipeline
+    from vinsat_tpu.estimation.window import _f64_prep_context
 
     os.makedirs(args.out, exist_ok=True)
     for seed in range(args.first, args.first + args.num):
-        if args.imagery:
-            seq = pipeline.simulate_sequence_imagery(
-                seed, duration_s=args.duration, frame_stride=args.stride,
-            )
-        else:
-            seq = pipeline.simulate_sequence(
-                seed, duration_s=args.duration, frame_stride=args.stride,
-                along_track=args.along_track, noise_px=args.noise_px,
-                pass_every_s=args.pass_every, pass_len_s=args.pass_len,
-                hifi_truth=args.hifi_truth,
-            )
+        # ground truth must be simulated in f64 (on the host CPU backend
+        # when the default backend is an f32-only accelerator): f32
+        # simulation produces NaN streams (docs/BENCHMARKS.md)
+        with _f64_prep_context():
+            if args.imagery:
+                seq = pipeline.simulate_sequence_imagery(
+                    seed, duration_s=args.duration, frame_stride=args.stride,
+                )
+            else:
+                seq = pipeline.simulate_sequence(
+                    seed, duration_s=args.duration, frame_stride=args.stride,
+                    along_track=args.along_track, noise_px=args.noise_px,
+                    pass_every_s=args.pass_every, pass_len_s=args.pass_len,
+                    hifi_truth=args.hifi_truth,
+                )
         sid = str(seed).zfill(5)
         np.save(os.path.join(args.out, f"{sid}_all_detections.npy"),
                 seq.det_rows)
@@ -48,7 +53,14 @@ def cmd_stream(args):
     from vinsat_tpu import pipeline
     from vinsat_tpu.estimation.window import StreamingConfig, stream_orbit
 
-    cfg = StreamingConfig(use_prior=args.use_prior,
+    import jax
+
+    # f64 end-to-end on CPU (validation config); f32 solver + f64 CPU-side
+    # conditioning on accelerators (the tuned TPU configuration — f64
+    # arrays would silently truncate on an f32-only backend)
+    dtype = "float64" if jax.default_backend() == "cpu" else "float32"
+    cfg = StreamingConfig(dtype=dtype,
+                          use_prior=args.use_prior,
                           marginalize=args.marginalize,
                           use_ekf_hybrid=args.ekf_hybrid,
                           track_nees=args.track_nees,
@@ -228,11 +240,19 @@ def _configure_jax():
         backend = jax.default_backend()
     if backend == "cpu":
         jax.config.update("jax_enable_x64", True)
+    else:
+        # register the host CPU backend next to the accelerator so data
+        # conditioning can run in f64 (window._f64_prep_context): f32
+        # conditioning costs km-level final error (docs/BENCHMARKS.md)
+        plat = jax.config.jax_platforms or backend
+        if "cpu" not in plat.split(","):
+            jax.config.update("jax_platforms", plat + ",cpu")
     jax.config.update("jax_default_matmul_precision", "highest")
-    cache = os.environ.get(
+    from vinsat_tpu.utils.cache import cache_dir as _host_cache_dir
+
+    cache = _host_cache_dir(os.environ.get(
         "VINSAT_JAX_CACHE", os.path.expanduser("~/.cache/vinsat_jax")
-    )
-    os.makedirs(cache, exist_ok=True)
+    ))
     jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     if os.environ.get("VINSAT_DEBUG_NANS") == "1":

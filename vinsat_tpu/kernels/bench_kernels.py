@@ -140,7 +140,10 @@ def main():
     import jax
 
     jax.config.update("jax_default_matmul_precision", "highest")
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    from vinsat_tpu.utils.cache import cache_dir as _host_cache_dir
+
+    jax.config.update("jax_compilation_cache_dir",
+                      _host_cache_dir("/root/repo/.jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     print(json.dumps({"device": str(jax.devices()[0])}))
     bench_visible_count()
