@@ -79,6 +79,18 @@ def test_adaptive_caps_at_max_iters():
     assert n == 12
 
 
+def test_default_runs_to_max_despite_plateau():
+    # the DEFAULT (conv_patience >= extra budget) must NOT early-stop on a
+    # residual plateau: weakly-observable windows keep improving in state
+    # space while the residual is flat (seed-11: early stop cost 30 km).
+    # late iterations find a better iterate after a long flat stretch.
+    res = [64.0, 8.0, 2.0] + [2.0] * 15 + [1.5] + [2.0] * 11
+    sid, n, r, h = _scripted_loop(res, num_iters=4, max_iters=30,
+                                  patience=10_000)
+    assert n == 30  # ran the full budget
+    assert (sid, r, h) == (19, 1.5, 19.0)  # the late best (iteration 18)
+
+
 def test_metric_switch_resets_best():
     # init-phase (vision-only) residuals are tiny and incomparable; the
     # switch at i == init_iters must reset the tracker or the loop would

@@ -71,18 +71,22 @@ class SolverParams(NamedTuple):
     # = 9 at the default schedule (λ0 is clamped to ≥ 1e-4 between
     # iterations, window.py resets to lambda_init = 1e-4).
     batched_lambda: int = 0
-    # Convergence-gated iteration extension (window._lm_loop): after the
-    # reference-exact `num_iters` LM iterations, keep iterating (up to
-    # max_iters total) while the best accepted residual is still improving
-    # by > conv_rtol within conv_patience iterations.  0 disables (exact
-    # fixed-count fori_loop).  Short weakly-observable windows (a single
-    # ~4 min detection pass in a 3 h arc) need 40-60 f32 iterations to
-    # reach the f64 solution (measured: seed-11 16-orbit eval miss,
-    # 38.7 km at 20 iters -> 1.65 km at 60, = the f64 result); fully
-    # converged windows stop after conv_patience extra probes.
+    # Iteration extension past the reference-exact `num_iters`
+    # (window._lm_loop): max_iters=0 disables (exact fixed-count
+    # fori_loop, returns the LAST iterate).  max_iters > num_iters runs
+    # extra iterations and returns the BEST-residual iterate.  With the
+    # default conv_patience (>= any extra budget) the loop ALWAYS runs
+    # max_iters — measured necessity: short weakly-observable windows (a
+    # single ~4 min detection pass in a 3 h arc, seed-11 of the 16-orbit
+    # eval) improve 38.7 km @ 20 iters -> 9.2 @ 40 -> 1.65 @ 60 (= the
+    # f64 result) while the RESIDUAL moves < 1%, so residual-gated early
+    # stopping returned a 30.4 km iterate (measured on the captured
+    # window).  Setting conv_patience < max_iters - num_iters opts into
+    # that residual-gated early stop where throughput matters more than
+    # worst-case windows.
     max_iters: int = 0
     conv_rtol: float = 0.01
-    conv_patience: int = 5
+    conv_patience: int = 10_000
 
 
 def _masked_median(x, valid):
