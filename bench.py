@@ -36,6 +36,11 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def _full_eval_artifact():
+    return os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        ".bench_full_eval.json")
+
+
 def main():
     import jax
 
@@ -60,11 +65,13 @@ def main():
     jax.config.update("jax_default_matmul_precision", "highest")
     # persistent compile cache (remote TPU compiles cost ~30-60 s each),
     # host-keyed: foreign-host XLA:CPU AOT entries segfault (utils/cache.py)
-    from vinsat_tpu.utils.cache import cache_dir as _host_cache_dir
+    from vinsat_tpu.utils.cache import (cache_dir as _host_cache_dir,
+                                        install_multidevice_cpu_cache_guard)
 
     cache = _host_cache_dir(os.path.join(
         os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
     jax.config.update("jax_compilation_cache_dir", cache)
+    install_multidevice_cpu_cache_guard()
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     dtype = "float64" if not on_tpu else "float32"
     log(f"device: {jax.devices()[0]}, dtype: {dtype}")
@@ -102,10 +109,10 @@ def main():
     sim_fps = float("nan")
     if on_tpu:
         t0 = time.time()
-        pipeline.simulate_sequence(seed, **sim_kw)
+        pipeline.simulate_sequence(seed, device_sim=True, **sim_kw)
         sim_cold_s = time.time() - t0
         t0 = time.time()
-        pipeline.simulate_sequence(seed, **sim_kw)
+        pipeline.simulate_sequence(seed, device_sim=True, **sim_kw)
         sim_warm_s = time.time() - t0
         sim_fps = duration / sim_warm_s
         log(f"sim(f32 device): cold {sim_cold_s:.1f}s warm {sim_warm_s:.1f}s "
@@ -213,6 +220,33 @@ def main():
                               for k, v in summary.items()}
         extra["full_eval_wall_s"] = round(time.time() - t0, 1)
         log(f"full 16-orbit eval: {summary}")
+        # persist for fast default runs (attached as full_eval_cached below)
+        art = dict(extra["full_eval"])
+        art["wall_s"] = extra["full_eval_wall_s"]
+        art["platform"] = platform
+        art["dtype"] = dtype
+        art["run_utc"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+        try:
+            import subprocess
+            art["commit"] = subprocess.run(
+                ["git", "rev-parse", "--short", "HEAD"],
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+                capture_output=True, text=True).stdout.strip()
+        except Exception:
+            pass
+        tmp = _full_eval_artifact() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(art, f, indent=1)
+        os.replace(tmp, _full_eval_artifact())
+    else:
+        # attach the last persisted BENCH_FULL_EVAL=1 result (the 16-orbit
+        # accuracy eval is ~30 min of wall; default runs stay fast but still
+        # report it, labeled as cached with its provenance)
+        try:
+            with open(_full_eval_artifact()) as f:
+                extra["full_eval_cached"] = json.load(f)
+        except (OSError, ValueError):
+            pass
 
     print(json.dumps({
         "metric": "multi-window streaming OD throughput "

@@ -12,8 +12,13 @@ Prints one JSON result line per config.
 """
 import argparse
 import json
+import os
 import sys
 import time
+
+# runnable as `python configs/run_configs.py ...` from anywhere: sys.path[0]
+# is configs/, so the package root must be added explicitly
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
@@ -208,14 +213,23 @@ def main():
 
     import jax
 
+    # register the CPU backend next to the accelerator BEFORE the first
+    # backend access (post-init jax_platforms updates are ignored): f64
+    # GT simulation / data conditioning require it (docs/BENCHMARKS.md)
+    plat = (jax.config.jax_platforms
+            or os.environ.get("JAX_PLATFORMS", "")).strip()
+    if plat and "cpu" not in plat.split(","):
+        jax.config.update("jax_platforms", plat + ",cpu")
     if jax.devices()[0].platform == "cpu":
         jax.config.update("jax_enable_x64", True)
     jax.config.update("jax_default_matmul_precision", "highest")
-    from vinsat_tpu.utils.cache import cache_dir as _host_cache_dir
+    from vinsat_tpu.utils.cache import (cache_dir as _host_cache_dir,
+                                        install_multidevice_cpu_cache_guard)
 
     cache = _host_cache_dir(os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), ".jax_cache"))
     jax.config.update("jax_compilation_cache_dir", cache)
+    install_multidevice_cpu_cache_guard()
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     keys = list(RUNNERS) if args.which == "all" else [args.which]
     for k in keys:

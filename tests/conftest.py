@@ -34,6 +34,13 @@ jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
+# multi-device CPU executables segfault on cache-read (broken jaxlib
+# serialization roundtrip) — exclude them (utils/cache.py)
+from vinsat_tpu.utils.cache import (  # noqa: E402
+    install_multidevice_cpu_cache_guard)
+
+install_multidevice_cpu_cache_guard()
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -89,6 +89,29 @@ def test_checkpoint_resume_identical(short_seq, tmp_path):
                                rtol=1e-12)
 
 
+def test_checkpoint_resume_restores_nees_history(short_seq, tmp_path):
+    """track_nees streams checkpoint their NEES history: a resumed run
+    returns the SAME per-window NEES triples as an uninterrupted one
+    (auto_calibrate derives anchor-prior inflation from them, so dropping
+    the history would make resumed runs diverge)."""
+    from vinsat_tpu.estimation.window import StreamingConfig, stream_orbit
+
+    rows = _gapped_rows(short_seq)
+    cfg = StreamingConfig(track_nees=True)
+    ck = str(tmp_path / "ck")
+    full = stream_orbit(rows, short_seq.orbit_pos_eci_km, seed=3, cfg=cfg,
+                        checkpoint_path=ck)
+    resumed = stream_orbit(rows, short_seq.orbit_pos_eci_km, seed=3,
+                           cfg=cfg, resume_from=f"{ck}.w0.npz")
+    assert full.window_infos is not None
+    assert resumed.window_infos.shape == full.window_infos.shape
+    np.testing.assert_allclose(full.window_infos, resumed.window_infos,
+                               rtol=1e-12)
+    np.testing.assert_allclose(full.window_est, resumed.window_est,
+                               rtol=1e-12)
+    np.testing.assert_allclose(full.errors, resumed.errors, rtol=1e-12)
+
+
 def test_checkpoint_resume_from_final_window(short_seq, tmp_path):
     """Resuming from the LAST window's checkpoint re-runs only the tail
     propagation and still matches the uninterrupted run."""

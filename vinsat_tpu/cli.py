@@ -87,9 +87,14 @@ def cmd_stream(args):
             continue
         ckpt = (os.path.join(args.out, f"{sid}_ckpt")
                 if args.checkpoint else None)
+        # a checkpoint belongs to ONE sequence ({sid}_ckpt.w{N}.npz):
+        # restoring it into any other sequence's stream would corrupt it
+        resume = args.resume_from or None
+        if resume and not os.path.basename(resume).startswith(f"{sid}_"):
+            resume = None
         res = stream_orbit(det, orbit, seed=int(sid), cfg=cfg,
                            checkpoint_path=ckpt,
-                           resume_from=args.resume_from or None)
+                           resume_from=resume)
         errors.append(res.errors)
         times.append(res.times)
         if len(res.errors):
@@ -232,6 +237,15 @@ def _configure_jax():
     TPU, persistent compilation cache."""
     import jax
 
+    # register the host CPU backend next to the accelerator so data
+    # conditioning can run in f64 (window._f64_prep_context): f32
+    # conditioning costs km-level final error (docs/BENCHMARKS.md).
+    # MUST happen before the first backend access — jax_platforms updates
+    # after backend initialization are silently ignored (jax 0.9.0).
+    plat = (jax.config.jax_platforms
+            or os.environ.get("JAX_PLATFORMS", "")).strip()
+    if plat and "cpu" not in plat.split(","):
+        jax.config.update("jax_platforms", plat + ",cpu")
     try:
         backend = jax.default_backend()
     except RuntimeError:
@@ -240,20 +254,15 @@ def _configure_jax():
         backend = jax.default_backend()
     if backend == "cpu":
         jax.config.update("jax_enable_x64", True)
-    else:
-        # register the host CPU backend next to the accelerator so data
-        # conditioning can run in f64 (window._f64_prep_context): f32
-        # conditioning costs km-level final error (docs/BENCHMARKS.md)
-        plat = jax.config.jax_platforms or backend
-        if "cpu" not in plat.split(","):
-            jax.config.update("jax_platforms", plat + ",cpu")
     jax.config.update("jax_default_matmul_precision", "highest")
-    from vinsat_tpu.utils.cache import cache_dir as _host_cache_dir
+    from vinsat_tpu.utils.cache import (cache_dir as _host_cache_dir,
+                                        install_multidevice_cpu_cache_guard)
 
     cache = _host_cache_dir(os.environ.get(
         "VINSAT_JAX_CACHE", os.path.expanduser("~/.cache/vinsat_jax")
     ))
     jax.config.update("jax_compilation_cache_dir", cache)
+    install_multidevice_cpu_cache_guard()
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     if os.environ.get("VINSAT_DEBUG_NANS") == "1":
         jax.config.update("jax_debug_nans", True)

@@ -13,9 +13,14 @@ Here the composition is:
      window's own pixel observations (a cheap O(N) pre-solve) — this is the
      filter half of the hybrid, giving BA a warm start already consistent
      with the new measurements;
-  3. window BA runs as BA_reg with per-knot priors anchored at the EKF
-     posterior (information = inverse EKF covariance), so the batch solve
-     keeps the filter's cross-gap information instead of discarding it.
+  3. window BA runs as BA_reg from that warm start with the ANCHOR-only
+     marginal prior (the previous window's Schur-complement marginal).
+     Deliberately NOT per-knot EKF-posterior priors: the EKF update in
+     step 2 already consumed this window's detections, so anchoring BA —
+     which re-observes the same detections — at the EKF posterior
+     information would double-count measurement information (an
+     overconfident prior).  The anchor marginal carries exactly the
+     cross-gap information and nothing of the new window's data.
 
 Used by estimation/window.stream_orbit when
 StreamingConfig.use_ekf_hybrid=True, and by configs/run_configs.py config 3.
@@ -58,8 +63,7 @@ def ekf_refine_window(end_state: np.ndarray, last_hessian: np.ndarray,
                       cum_rot: np.ndarray, graph, gt, intrinsics,
                       dtype, num_hops: int, max_substep: float = 100.0,
                       meas_noise_px: float = 5.0, max_obs: int = 8,
-                      pad_to: int = 0
-                      ) -> Tuple[np.ndarray, ba.PriorState]:
+                      pad_to: int = 0, return_prior: bool = False):
     """EKF predict+update pass over the new knots [t_init, t_final).
 
     end_state (10,): previous window's terminal posterior state;
@@ -67,8 +71,11 @@ def ekf_refine_window(end_state: np.ndarray, last_hessian: np.ndarray,
     cum_rot (N, 4): global per-gap IMU rotations (cum_rot[i] spans knot
     i -> i+1).
 
-    Returns (filtered states (Nw, 10), PriorState over the Nw knots with
-    information = inverse EKF posterior covariance).
+    Returns the filtered states (Nw, 10).  With return_prior=True also
+    returns a PriorState over the Nw knots with information = inverse EKF
+    posterior covariance — NOT used by the streaming hybrid (it would
+    double-count the window's detections, see module docstring); available
+    for compositions where BA does not re-observe the same measurements.
     """
     jd = jnp.dtype(dtype)
     Nw = t_final - t_init
@@ -105,9 +112,11 @@ def ekf_refine_window(end_state: np.ndarray, last_hessian: np.ndarray,
         jnp.asarray(np.asarray(intrinsics), jd), cfg,
     )
     states = np.asarray(states)[:Nw]
-    covs = np.asarray(covs, dtype=np.float64)[:Nw]
+    if not return_prior:
+        return states
 
     # per-knot prior information from the EKF posterior
+    covs = np.asarray(covs, dtype=np.float64)[:Nw]
     covs = covs + 1e-9 * np.eye(9)[None]
     H9 = np.linalg.inv(covs)
     H_state = np.zeros((Nw, 6, 6))

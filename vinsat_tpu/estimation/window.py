@@ -498,8 +498,13 @@ def stream_orbit(det_rows: np.ndarray, orbit_pos_eci_km: np.ndarray,
     t_prev = 0
     i_prev = 0
     max_hops = int(np.ceil(gaps.max() / solver.max_substep)) + 1
-    solver = solver._replace(num_hops=max(solver.num_hops, max_hops),
-                             max_iters=max(solver.max_iters, cfg.max_iters))
+    # a caller-set SolverParams.max_iters wins over the streaming default;
+    # opting out of the extra-iteration budget entirely (the bit-exact
+    # fixed-count path) is cfg.max_iters=0 with the default solver
+    solver = solver._replace(
+        num_hops=max(solver.num_hops, max_hops),
+        max_iters=solver.max_iters if solver.max_iters > 0
+        else cfg.max_iters)
 
     nees_infos: List[np.ndarray] = []
     nees_est: List[np.ndarray] = []
@@ -520,6 +525,13 @@ def stream_orbit(det_rows: np.ndarray, orbit_pos_eci_km: np.ndarray,
         if "marg_info" in ck:
             marg_info = np.asarray(ck["marg_info"])
             i_prev = int(ck["i_prev"])
+        if "nees_infos" in ck:
+            # NEES history must survive resume: auto_calibrate derives
+            # anchor-prior inflation from it, so dropping it would make a
+            # resumed run diverge from an uninterrupted one
+            nees_infos = list(np.asarray(ck["nees_infos"]))
+            nees_est = list(np.asarray(ck["nees_est"]))
+            nees_gt = list(np.asarray(ck["nees_gt"]))
 
     def record_tail(t_init: int):
         # tail propagation (od_pipe.py:1045-1059)
@@ -626,7 +638,7 @@ def stream_orbit(det_rows: np.ndarray, orbit_pos_eci_km: np.ndarray,
                     )
                     hops = int(np.ceil(gap_max / solver.max_substep)) + 1
                     info0 = anchor_info(marg_info)
-                    new_states, _ = hybrid.ekf_refine_window(
+                    new_states = hybrid.ekf_refine_window(
                         cur_states[-1], info0, knot_t, t_init, t_final,
                         cum_rot, graph, gt, np.asarray(intr), dtype,
                         num_hops=hops, max_substep=solver.max_substep,
@@ -801,14 +813,19 @@ def stream_orbit(det_rows: np.ndarray, orbit_pos_eci_km: np.ndarray,
         if checkpoint_path is not None:
             from vinsat_tpu.utils import checkpoint as ckpt
 
+            ck_extra = ({} if marg_info is None
+                        else {"marg_info": marg_info,
+                              "i_prev": np.array(i_prev)})
+            if track and nees_infos:
+                ck_extra.update(nees_infos=np.asarray(nees_infos),
+                                nees_est=np.asarray(nees_est),
+                                nees_gt=np.asarray(nees_gt))
             ckpt.save(
                 f"{checkpoint_path}.w{w}.npz", states=cur_states,
                 last_hessian=last_hessian, window_idx=w, lamda=lamda,
                 knot_times=knot_t[:t_final],
                 errors=np.concatenate(errors), times=np.concatenate(times),
-                extra=({} if marg_info is None
-                       else {"marg_info": marg_info,
-                             "i_prev": np.array(i_prev)}),
+                extra=ck_extra,
             )
 
         if seq_end and t_final < len(knot_t):

@@ -10,6 +10,7 @@ Mirrors the reference's top-level flows:
 """
 from __future__ import annotations
 
+import functools
 from typing import List, NamedTuple, Optional, Tuple
 
 import jax
@@ -22,9 +23,24 @@ from vinsat_tpu.estimation import ba, factors, ingest
 from vinsat_tpu.estimation.window import (StreamingConfig, StreamingResult,
                                           stream_orbit)
 from vinsat_tpu.evalx import ate
+from vinsat_tpu.sim import camera as cam_mod
 from vinsat_tpu.sim import detections as det_mod
 from vinsat_tpu.sim import landmarks as lm_mod
 from vinsat_tpu.sim import orbits
+
+# module-level jits: fresh jax.jit wrappers inside a function never reuse
+# their trace cache across calls (every call would retrace + relower)
+_footprint_bounds_jit = jax.jit(cam_mod.footprint_bounds,
+                                static_argnums=(0,))
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _reproject_candidates(cam, pos, R_wc, lon, lat):
+    """Batched ground->pixel reprojection of detection candidates."""
+    return jax.vmap(
+        lambda p, R, lo, la: cam_mod.lonlat_to_pixel(
+            cam, cam_mod.CameraPose(p, R), lo[None], la[None])
+    )(pos, R_wc, lon, lat)
 
 
 def track_landmark_db(traj: orbits.Trajectory, key, every_s: int = 60,
@@ -89,7 +105,8 @@ def simulate_sequence(seed: int, duration_s: int = 10800,
                       along_track: bool = False,
                       pass_every_s: Optional[int] = None,
                       pass_len_s: int = 300,
-                      hifi_truth: bool = False) -> SimulatedSequence:
+                      hifi_truth: bool = False,
+                      device_sim: bool = False) -> SimulatedSequence:
     """Generate one detection sequence over a random LEO orbit
     (run_sim, sim/nadir_sim.py:138-265, geometry-only detector stage).
 
@@ -99,7 +116,33 @@ def simulate_sequence(seed: int, duration_s: int = 10800,
     pass_every_s/pass_len_s (with along_track) restrict landmarks to
     periodic track segments, reproducing the reference's region-pass
     detection-gap structure (multi-window streaming).
+
+    GROUND TRUTH IS SIMULATED IN f64 ON THE CPU BACKEND by default,
+    regardless of the process's accelerator/dtype configuration: f32 RK4
+    trajectories are dynamically inconsistent at km level against any
+    estimator (measured, docs/BENCHMARKS.md "precision rules").
+    device_sim=True opts out (runs on the default device at the ambient
+    precision) — ONLY for measuring accelerator sim throughput, never for
+    generating estimation ground truth.
     """
+    if not device_sim:
+        try:
+            cpu0 = jax.devices("cpu")[0]
+        except RuntimeError:
+            cpu0 = None  # no CPU backend registered: ambient config
+        if cpu0 is not None:
+            x64_was = jax.config.jax_enable_x64
+            try:
+                jax.config.update("jax_enable_x64", True)
+                with jax.default_device(cpu0):
+                    return simulate_sequence(
+                        seed, duration_s, db=db, noise_px=noise_px,
+                        frame_stride=frame_stride, max_dets=max_dets,
+                        along_track=along_track, pass_every_s=pass_every_s,
+                        pass_len_s=pass_len_s, hifi_truth=hifi_truth,
+                        device_sim=True)
+            finally:
+                jax.config.update("jax_enable_x64", x64_was)
     key = jax.random.PRNGKey(seed)
     k_traj, k_db, k_det = jax.random.split(key, 3)
     traj = orbits.generate_trajectory(k_traj, duration_s=duration_s,
@@ -147,7 +190,6 @@ def simulate_sequence_imagery(seed: int, duration_s: int = 600,
     """
     import jax.numpy as jnp
 
-    from vinsat_tpu.sim import camera as cam_mod
     from vinsat_tpu.sim import imagery
     from vinsat_tpu.tools.raster import Affine, RasterImageServer
 
@@ -206,19 +248,24 @@ def simulate_sequence_imagery(seed: int, duration_s: int = 600,
     # ---- stage 1: ALL footprints in one jitted batch ---------------------
     frames_idx = np.arange(0, duration_s + 1, frame_stride)
     poses = cam_mod.CameraPose.nadir(jnp.asarray(pos_ecef_m[frames_idx]))
-    bounds_b, ok_b = jax.jit(cam_mod.footprint_bounds,
-                             static_argnums=(0,))(cam, poses)
+    bounds_b, ok_b = _footprint_bounds_jit(cam, poses)
     bounds_b = np.asarray(bounds_b)
     ok_b = np.asarray(ok_b)
 
     # ---- stage 2: host-side window crops, padded to one static shape -----
     def choose_region(b):
         """Region whose box contains the footprint centre
-        (choose_region_im, SatCam.py:278-281)."""
+        (choose_region_im, SatCam.py:278-281).  footprint_bounds returns
+        wrapped boxes with lon_max > 180 over the antimeridian — normalize
+        the centre back into [-180, 180) and test both lon and lon+360
+        (region boxes carry raw [-180, 180] longitudes with a +1 margin,
+        so their east edge can reach 181)."""
         cx = 0.5 * (b[0] + b[2])
+        cx = (cx + 180.0) % 360.0 - 180.0
         cy = 0.5 * (b[1] + b[3])
         for name, lo, la0, hi, la1 in region_boxes:
-            if lo <= cx <= hi and la0 <= cy <= la1:
+            if (lo <= cx <= hi or lo <= cx + 360.0 <= hi) \
+                    and la0 <= cy <= la1:
                 return name
         return None
 
@@ -284,12 +331,8 @@ def simulate_sequence_imagery(seed: int, duration_s: int = 600,
         position=jnp.asarray(pos_ecef_m[frames_idx][pose_rows]),
         R_wc=poses.R_wc[jnp.asarray(pose_rows)],
     )
-    uv_b, z_b = jax.jit(jax.vmap(
-        lambda p, R, lo, la: cam_mod.lonlat_to_pixel(
-            cam, cam_mod.CameraPose(p, R), lo[None], la[None]),
-        in_axes=(0, 0, 0, 0),
-    ), static_argnums=())(pose_sel.position, pose_sel.R_wc, cand_lon,
-                          cand_lat)
+    uv_b, z_b = _reproject_candidates(cam, pose_sel.position, pose_sel.R_wc,
+                                      cand_lon, cand_lat)
     uv_b = np.asarray(uv_b)[:, 0]
 
     det_rows = []

@@ -48,3 +48,50 @@ def cache_dir(base: str) -> str:
     d = os.path.join(base, host_fingerprint())
     os.makedirs(d, exist_ok=True)
     return d
+
+
+_GUARD_INSTALLED = False
+
+
+def install_multidevice_cpu_cache_guard() -> None:
+    """Exclude MULTI-DEVICE XLA:CPU executables from the persistent cache.
+
+    This jaxlib's serialization roundtrip of multi-virtual-device CPU
+    shard_map executables is broken: the cache write appears to succeed,
+    but the first cross-process read segfaults inside
+    compilation_cache.get_executable_and_time (observed on the sharded BA
+    step with and without Pallas; single-device entries and TPU entries
+    roundtrip fine).  Installed by every cache-dir consumer that can
+    compile multi-device CPU programs (tests/conftest, configs, launch);
+    such programs simply recompile per process.
+    """
+    global _GUARD_INSTALLED
+    if _GUARD_INSTALLED:
+        return
+    _GUARD_INSTALLED = True
+
+    from jax._src import compilation_cache as _cc
+
+    orig_get = _cc.get_executable_and_time
+    orig_put = _cc.put_executable_and_time
+
+    def get_guarded(cache_key, compile_options, backend,
+                    executable_devices):
+        if backend.platform == "cpu" and len(executable_devices) > 1:
+            return None, None
+        return orig_get(cache_key, compile_options, backend,
+                        executable_devices)
+
+    def put_guarded(cache_key, module_name, executable, backend,
+                    compile_time):
+        try:
+            if (backend.platform == "cpu"
+                    and len(executable.local_devices()) > 1):
+                return None
+        except Exception:
+            pass
+        return orig_put(cache_key, module_name, executable, backend,
+                        compile_time)
+
+    _cc.get_executable_and_time = get_guarded
+    _cc.put_executable_and_time = put_guarded
