@@ -221,6 +221,29 @@ def test_bcr_matches_thomas(rng):
         np.testing.assert_allclose(x_bcr, x_ref, rtol=1e-10, atol=1e-12)
 
 
+def test_tridiag_variant_dispatch(rng):
+    """Every SolverParams.tridiag_variant solves the same system to machine
+    precision (the knob only selects the algorithm, never the answer), and
+    an unknown variant raises."""
+    import jax.numpy as jnp
+    import pytest
+
+    from vinsat_tpu.estimation import ba
+
+    N, k = 100, 9
+    A = rng.normal(size=(N, k, k))
+    D = jnp.asarray(np.einsum("nij,nkj->nik", A, A) + 8 * np.eye(k))
+    U = jnp.asarray(rng.normal(size=(N - 1, k, k)) * 0.3)
+    b = jnp.asarray(rng.normal(size=(N, k)))
+    ref = np.asarray(ba.jacobi_scaled_tridiag_solve(D, U, b,
+                                                    variant="thomas"))
+    for v in ("auto", "chunked", "bcr1", "bcr16"):
+        x = np.asarray(ba.jacobi_scaled_tridiag_solve(D, U, b, variant=v))
+        np.testing.assert_allclose(x, ref, rtol=1e-9, atol=1e-11)
+    with pytest.raises(ValueError, match="unknown tridiag variant"):
+        ba.jacobi_scaled_tridiag_solve(D, U, b, variant="qr")
+
+
 def test_bcr_f32_with_jacobi_scaling(rng):
     """BCR stays accurate in f32 on realistically ill-scaled normal-equation
     blocks once Jacobi-scaled (the TPU production configuration)."""

@@ -87,6 +87,11 @@ class SolverParams(NamedTuple):
     max_iters: int = 0
     conv_rtol: float = 0.01
     conv_patience: int = 10_000
+    # Block-tridiagonal solve algorithm: "auto" picks by N (see
+    # jacobi_scaled_tridiag_solve); "thomas" / "chunked" / "bcr1" /
+    # "bcr16" force a variant (benchmark + regression escape hatch —
+    # all variants agree to f32 roundoff under Jacobi scaling).
+    tridiag_variant: str = "auto"
 
 
 def _masked_median(x, valid):
@@ -207,13 +212,16 @@ def block_tridiag_solve_blockrhs(D, U, B):
     return xs_rev
 
 
-def jacobi_scaled_tridiag_solve(D, U, b):
+def jacobi_scaled_tridiag_solve(D, U, b, variant: str = "auto"):
     """block_tridiag_solve with symmetric Jacobi (diagonal) preconditioning.
 
     The normal-equation blocks span ~1e12 in magnitude (pixel-scale
     JgᵀWJg vs Σ·AᵀA with 1000-s transition sensitivities), which is fatal in
     f32 — the TPU production dtype.  Scaling by s = diag(H)^{-1/2} brings
     the system to O(1) condition per block: solve (SHS)(S⁻¹x) = Sb.
+
+    variant: "auto" dispatches on N (see below); "thomas" / "chunked" /
+    "bcr1" / "bcr16" force an algorithm (SolverParams.tridiag_variant).
     """
     diag = jnp.diagonal(D, axis1=-2, axis2=-1)  # (N, k)
     s = 1.0 / jnp.sqrt(jnp.maximum(diag, 1e-30))
@@ -222,18 +230,30 @@ def jacobi_scaled_tridiag_solve(D, U, b):
     bs = b * s
     N = D.shape[0]
     # log-depth cyclic reduction: the sequential scan is the measured
-    # latency bottleneck at production N (docs/BENCHMARKS.md MFU table);
-    # BCR measures 5-8x faster than the chunked scan on v5e at N=64..512.
-    # Above ~1024 the deep BCR graph hits an XLA composition pathology
-    # (141 ms at N=4096 while every constituent op measures <0.25 ms) —
-    # the chunked SPIKE scan wins there.  Below 64 the plain Thomas scan
-    # is kept: it measures no slower in the full-iteration context, and
+    # latency bottleneck at production N (docs/BENCHMARKS.md MFU table).
+    # v5e D-chained measurements (bench_kernels tridiag, reproducible ±15%):
+    # bcr16 wins 64 <= N <= 512 (0.08/0.29/0.34/0.39 ms at 64/128/256/512
+    # vs chunked SPIKE's 0.8/1.1/1.7/1.8); at N >= 1024 the deep BCR graph
+    # hits an XLA composition pathology (36/142 ms at N=2048/4096 while
+    # every constituent batched op measures <0.25 ms) and the chunked SPIKE
+    # wins (3.7/4.3/8.3 ms at 1024/2048/4096).  The pathology reproduces
+    # under D-chained timing (no hoisting escape), so it is real, not a
+    # harness artifact.  Below 64 _auto_chunks degenerates to the plain
+    # Thomas scan: it measures no slower in the full-iteration context, and
     # it keeps the single-chip solve algorithm-identical to the sharded
     # SPIKE path at the sizes test_sharded_ba pins bit-for-bit.
-    if 64 <= N < 1024:
-        xs = block_tridiag_solve_bcr(Ds, Us, bs)
-    else:
+    if variant == "auto":
+        variant = "bcr16" if 64 <= N < 1024 else "chunked"
+    if variant == "thomas":
+        xs = block_tridiag_solve(Ds, Us, bs)
+    elif variant == "chunked":
         xs = block_tridiag_solve_chunked(Ds, Us, bs, _auto_chunks(N))
+    elif variant == "bcr1":
+        xs = block_tridiag_solve_bcr(Ds, Us, bs, base=1)
+    elif variant == "bcr16":
+        xs = block_tridiag_solve_bcr(Ds, Us, bs, base=16)
+    else:
+        raise ValueError(f"unknown tridiag variant {variant!r}")
     return xs * s
 
 
@@ -356,18 +376,22 @@ def block_tridiag_solve_chunked(D, U, b, num_chunks: int):
     return x.reshape(N, k)
 
 
-def block_tridiag_solve_bcr(D, U, b, base: int = 1):
+def block_tridiag_solve_bcr(D, U, b, base: int = 16):
     """Block CYCLIC REDUCTION solve: sequential depth 2·log2(N/base) + base
     of fully BATCHED 9x9 ops, vs the Thomas scan's N (or chunked SPIKE's
     N/C + 2C).  With `gj_solve_small` the per-level cost is pure batched
-    elementwise work, so recursing all the way down (base=1) measures
-    fastest on v5e; `base>1` stops early and finishes the reduced system
-    with one Thomas scan.
+    elementwise work.  `base` stops the recursion early and finishes the
+    reduced system with one short Thomas scan — v5e D-chained measurements
+    (bench_kernels tridiag, docs/BENCHMARKS.md): base=16 beats base=1 at
+    N=256/512 (the last ~4 levels operate on <=8 blocks, where per-level
+    fixed overhead exceeds the scan's cost) and beats the chunked SPIKE
+    2-6x at N=64..512.  At N >= 1024 BOTH bases lose to the chunked SPIKE
+    (XLA composition pathology in the deep graph — see
+    jacobi_scaled_tridiag_solve), so "auto" only picks BCR below 1024.
 
-    MFU measurement (docs/BENCHMARKS.md): at N=4096 the chunked-SPIKE solve
-    runs at 6% of HBM bandwidth and 0.02% of peak FLOPs — pure sequential
-    latency.  BCR trades 2x the FLOPs (still negligible) for log-depth
-    parallelism, which is exactly what the TPU wants.
+    The even/odd split and interleave use reshape (contiguity-preserving),
+    not strided slicing — strided gathers/scatters measured erratically on
+    v5e inside deep multi-level graphs.
 
     Each level eliminates the odd block-rows in parallel:
         D'_t = D_e[t] - U_oe[t-1]^T D_o[t-1]^{-1} U_oe[t-1]
@@ -387,10 +411,13 @@ def block_tridiag_solve_bcr(D, U, b, base: int = 1):
 
     stack = []  # per level: (Dinv_Uoe, Dinv_UeoT, Dinv_b) for back-sub
     while n > max(base, 1):
-        D_e, D_o = Dp[0::2], Dp[1::2]
-        U_eo = Up[0::2]  # even i -> odd i+1
-        U_oe = Up[1::2]  # odd o -> even o+1 (last entry is the zero pad)
-        b_e, b_o = bp[0::2], bp[1::2]
+        D2 = Dp.reshape(n // 2, 2, k, k)
+        U2 = Up.reshape(n // 2, 2, k, k)
+        b2 = bp.reshape(n // 2, 2, k)
+        D_e, D_o = D2[:, 0], D2[:, 1]
+        U_eo = U2[:, 0]  # even i -> odd i+1
+        U_oe = U2[:, 1]  # odd o -> even o+1 (last entry is the zero pad)
+        b_e, b_o = b2[:, 0], b2[:, 1]
 
         # one batched LU per odd row for all three right-hand sides
         rhs = jnp.concatenate(
@@ -400,7 +427,7 @@ def block_tridiag_solve_bcr(D, U, b, base: int = 1):
         Dinv_Uoe = sol[..., :k]            # D_o^{-1} U_oe
         Dinv_UeoT = sol[..., k:2 * k]      # D_o^{-1} U_eo^T
         Dinv_b = sol[..., 2 * k]           # D_o^{-1} b_o
-        stack.append((Dinv_Uoe, Dinv_UeoT, Dinv_b, U_eo, U_oe, b_o))
+        stack.append((Dinv_Uoe, Dinv_UeoT, Dinv_b))
 
         # right-neighbor contributions (odd o = 2t+1)
         D_new = D_e - jnp.einsum("tij,tjk->tik", U_eo, Dinv_UeoT)
@@ -420,7 +447,7 @@ def block_tridiag_solve_bcr(D, U, b, base: int = 1):
     else:
         x = block_tridiag_solve(Dp, Up[:-1], bp)  # (base, k) Thomas scan
 
-    for Dinv_Uoe, Dinv_UeoT, Dinv_b, U_eo, U_oe, b_o in reversed(stack):
+    for Dinv_Uoe, Dinv_UeoT, Dinv_b in reversed(stack):
         m = Dinv_b.shape[0]
         x_e = x  # (m, k) solved evens of this level
         x_e_next = jnp.concatenate(
@@ -429,8 +456,7 @@ def block_tridiag_solve_bcr(D, U, b, base: int = 1):
         x_o = (Dinv_b
                - jnp.einsum("tij,tj->ti", Dinv_UeoT, x_e)
                - jnp.einsum("tij,tj->ti", Dinv_Uoe, x_e_next))
-        x = jnp.zeros((2 * m, k), D.dtype)
-        x = x.at[0::2].set(x_e).at[1::2].set(x_o)
+        x = jnp.stack([x_e, x_o], axis=1).reshape(2 * m, k)
 
     return x[:N]
 
@@ -631,7 +657,8 @@ def ba_iteration(sched_iter, states, prob: BAProblem, lamda_init,
 
     def solve_with(lamda):
         Dl = D + lamda * eye[None]
-        dpose = jacobi_scaled_tridiag_solve(Dl, U, JTr)
+        dpose = jacobi_scaled_tridiag_solve(Dl, U, JTr,
+                                            variant=params.tridiag_variant)
         return retract(dpose)
 
     lamda0 = jnp.asarray(lamda_init, dtype=dtype)
@@ -917,7 +944,8 @@ def ba_reg_iteration(sched_iter, states, prob: BAProblem, prior, lamda_init,
 
     def solve_with(lamda):
         Dl = D + lamda * eye[None]
-        dpose = jacobi_scaled_tridiag_solve(Dl, U, JTr)
+        dpose = jacobi_scaled_tridiag_solve(Dl, U, JTr,
+                                            variant=params.tridiag_variant)
         return retract(dpose)
 
     lamda0 = jnp.asarray(lamda_init, dtype=dtype)

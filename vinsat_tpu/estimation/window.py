@@ -407,7 +407,8 @@ def stream_orbit(det_rows: np.ndarray, orbit_pos_eci_km: np.ndarray,
                  solver: ba.SolverParams = ba.SolverParams(),
                  intrinsics: Optional[np.ndarray] = None,
                  metrics=None, checkpoint_path: Optional[str] = None,
-                 resume_from: Optional[str] = None) -> StreamingResult:
+                 resume_from: Optional[str] = None,
+                 timer=None) -> StreamingResult:
     """Run streaming OD on one detection sequence.
 
     det_rows: (M, 6) [frame, lon, lat, xc, yc, conf]; orbit_pos_eci_km:
@@ -421,7 +422,17 @@ def stream_orbit(det_rows: np.ndarray, orbit_pos_eci_km: np.ndarray,
     next window and produces results identical to an uninterrupted run
     (the window split and initial-noise draw are deterministic in
     det_rows/seed).
+
+    timer: optional utils.profiling.StageTimer — accumulates wall time per
+    driver phase (prep / propagate / pad_transfer / solve / marginal); on a
+    remote-TPU tunnel each phase's cost is dominated by its host round
+    trips, so this is the dispatch-accounting view of the stream.
     """
+    profiling_on = timer is not None
+    if timer is None:
+        from vinsat_tpu.utils.profiling import StageTimer
+
+        timer = StageTimer()  # discarded; keeps the stage blocks unconditional
     rng = np.random.default_rng(seed)
     dtype = cfg.dtype
     T = orbit_pos_eci_km.shape[0]
@@ -431,7 +442,7 @@ def stream_orbit(det_rows: np.ndarray, orbit_pos_eci_km: np.ndarray,
                                np.zeros((0, 10)), np.array([], dtype=np.int64))
     graph = ingest.build_graph(det_rows, T)
 
-    with _f64_prep_context() as pjd:
+    with timer.stage("prep"), _f64_prep_context() as pjd:
         if pjd is None:
             pjd = jnp.dtype(dtype)
         gt = ingest.process_ground_truths(orbit_pos_eci_km, graph,
@@ -540,13 +551,14 @@ def stream_orbit(det_rows: np.ndarray, orbit_pos_eci_km: np.ndarray,
         max_len = bucket(span, cfg.prop_bucket, cfg.prop_bucket)
         om_pad = np.zeros((max_len, 3))
         om_pad[:om.shape[0]] = om
-        path = np.asarray(
-            propagate_segment(
-                jnp.asarray(cur_states[-1], jnp.dtype(dtype)),
-                jnp.asarray(om_pad, jnp.dtype(dtype)),
-                jnp.asarray(span), max_len,
+        with timer.stage("propagate"):
+            path = np.asarray(
+                propagate_segment(
+                    jnp.asarray(cur_states[-1], jnp.dtype(dtype)),
+                    jnp.asarray(om_pad, jnp.dtype(dtype)),
+                    jnp.asarray(span), max_len,
+                )
             )
-        )
         new_knots = knot_t[t_init:] - knot_t[t_init - 1]
         states_prop = path[new_knots]
         errors.append(np.linalg.norm(
@@ -609,13 +621,14 @@ def stream_orbit(det_rows: np.ndarray, orbit_pos_eci_km: np.ndarray,
             max_len = bucket(span, cfg.prop_bucket, cfg.prop_bucket)
             om_pad = np.zeros((max_len, 3))
             om_pad[:om.shape[0]] = om
-            path = np.asarray(
-                propagate_segment(
-                    jnp.asarray(cur_states[-1], jd),
-                    jnp.asarray(om_pad, jd),
-                    jnp.asarray(span), max_len,
+            with timer.stage("propagate"):
+                path = np.asarray(
+                    propagate_segment(
+                        jnp.asarray(cur_states[-1], jd),
+                        jnp.asarray(om_pad, jd),
+                        jnp.asarray(span), max_len,
+                    )
                 )
-            )
             new_knots = knot_t[t_init:t_final] - knot_t[t_init - 1]
             states_prop = path[new_knots]
             # record propagation errors at the new knots except the last
@@ -695,14 +708,17 @@ def stream_orbit(det_rows: np.ndarray, orbit_pos_eci_km: np.ndarray,
             Mw = i_final - i_prev
             n_pad = bucket(Nw, cfg.knot_bucket)
             m_pad = bucket(max(Mw, 1), cfg.obs_bucket, cfg.obs_bucket)
-            st0, prob = _pad_problem(
-                window_states, gaps[sub_anchor:t_final],
-                cum_rot[sub_anchor:t_final],
-                gt.landmarks_xyz[i_prev:i_final], graph.uv[i_prev:i_final],
-                graph.conf[i_prev:i_final],
-                graph.ii[i_prev:i_final] - sub_anchor, n_pad, m_pad, dtype,
-                intrinsics=np.asarray(intr),
-            )
+            with timer.stage("pad_transfer"):
+                st0, prob = _pad_problem(
+                    window_states, gaps[sub_anchor:t_final],
+                    cum_rot[sub_anchor:t_final],
+                    gt.landmarks_xyz[i_prev:i_final],
+                    graph.uv[i_prev:i_final], graph.conf[i_prev:i_final],
+                    graph.ii[i_prev:i_final] - sub_anchor, n_pad, m_pad,
+                    dtype, intrinsics=np.asarray(intr),
+                )
+                if profiling_on:
+                    jax.block_until_ready((st0, prob.gaps, prob.landmarks_uv))
             H9_infl = anchor_info(marg_info)
             Hs0, Hr0, H9c = compose_prior_blocks(H9_infl)
             prop_pad = np.zeros((n_pad, 10))
@@ -718,22 +734,26 @@ def stream_orbit(det_rows: np.ndarray, orbit_pos_eci_km: np.ndarray,
                 jnp.asarray(prop_pad, jd), jnp.asarray(Hs_pad, jd),
                 jnp.asarray(Hr_pad, jd), jnp.asarray(val, jd),
             )
-            out_states, lam_new, last_h, mean_res = attempt(
-                lambda l0: solve_window_reg(st0, prob, prior, l0,
-                                            cfg.num_iters, solver), st0)
-            out_np = np.asarray(out_states)[:Nw]
+            with timer.stage("solve"):
+                out_states, lam_new, last_h, mean_res = attempt(
+                    lambda l0: solve_window_reg(st0, prob, prior, l0,
+                                                cfg.num_iters, solver), st0)
+                out_np = np.asarray(out_states)[:Nw]
             cur_states = np.concatenate([cur_states[:-1], out_np], axis=0)
             extra_diag0 = H9c
         else:
             # ---- growing-prefix solve (reference main path) --------------
             n_pad = bucket(t_final, cfg.knot_bucket)
             m_pad = bucket(i_final, cfg.obs_bucket, cfg.obs_bucket)
-            st0, prob = _pad_problem(
-                window_states, gaps[:t_final], cum_rot[:t_final],
-                gt.landmarks_xyz[:i_final], graph.uv[:i_final],
-                graph.conf[:i_final], graph.ii[:i_final], n_pad, m_pad,
-                dtype, intrinsics=np.asarray(intr),
-            )
+            with timer.stage("pad_transfer"):
+                st0, prob = _pad_problem(
+                    window_states, gaps[:t_final], cum_rot[:t_final],
+                    gt.landmarks_xyz[:i_final], graph.uv[:i_final],
+                    graph.conf[:i_final], graph.ii[:i_final], n_pad, m_pad,
+                    dtype, intrinsics=np.asarray(intr),
+                )
+                if profiling_on:
+                    jax.block_until_ready((st0, prob.gaps, prob.landmarks_uv))
             if cfg.use_prior and w > 0 and prior_full is not None:
                 ps, hs, hr, a, b = prior_full
                 prop_pad = np.zeros((n_pad, 10))
@@ -749,14 +769,17 @@ def stream_orbit(det_rows: np.ndarray, orbit_pos_eci_km: np.ndarray,
                     jnp.asarray(prop_pad, jd), jnp.asarray(Hs_pad, jd),
                     jnp.asarray(Hr_pad, jd), jnp.asarray(val, jd),
                 )
-                out_states, lam_new, last_h, mean_res = attempt(
-                    lambda l0: solve_window_reg(st0, prob, prior, l0,
-                                                cfg.num_iters, solver), st0)
+                with timer.stage("solve"):
+                    out_states, lam_new, last_h, mean_res = attempt(
+                        lambda l0: solve_window_reg(st0, prob, prior, l0,
+                                                    cfg.num_iters, solver),
+                        st0)
             else:
-                out_states, lam_new, last_h, mean_res = attempt(
-                    lambda l0: solve_window(
-                        st0, prob, l0, jnp.asarray(init_iters),
-                        cfg.num_iters, solver), st0)
+                with timer.stage("solve"):
+                    out_states, lam_new, last_h, mean_res = attempt(
+                        lambda l0: solve_window(
+                            st0, prob, l0, jnp.asarray(init_iters),
+                            cfg.num_iters, solver), st0)
             cur_states = np.asarray(out_states)[:t_final]
 
         last_hessian = np.asarray(last_h)
@@ -770,9 +793,11 @@ def stream_orbit(det_rows: np.ndarray, orbit_pos_eci_km: np.ndarray,
             extra = np.zeros((prob.gaps.shape[0], 9, 9))
             if extra_diag0 is not None:
                 extra[0] = extra_diag0
-            info_w = np.asarray(_marginal_info_jit(
-                out_states, prob, solver, extra_diag=jnp.asarray(extra, jd)
-            ), dtype=np.float64)
+            with timer.stage("marginal"):
+                info_w = np.asarray(_marginal_info_jit(
+                    out_states, prob, solver,
+                    extra_diag=jnp.asarray(extra, jd)
+                ), dtype=np.float64)
             if bounded:
                 marg_info = info_w
             if track:

@@ -136,8 +136,77 @@ def bench_assemble(sizes=((256, 8), (1024, 8), (4096, 8), (4096, 16))):
     return rows
 
 
-def main():
+def bench_tridiag(sizes=(256, 1024, 4096), k=9, R=32, repeats=3):
+    """Block-tridiagonal solve variants (the jacobi_scaled dispatch data).
+
+    D-chained loop differencing (utils.mfu.time_looped: the solution is
+    folded back into D AND b each step, so no D/U-only stage — LU factors,
+    SPIKE spikes, BCR reduction — can be hoisted out of the timing loop).
+    Each variant is wrapped in a nested jit so XLA schedules it as a
+    standalone dispatch.  Correctness is pinned to the Thomas scan.
+    """
     import jax
+    import jax.numpy as jnp
+
+    from vinsat_tpu.estimation import ba
+    from vinsat_tpu.utils import mfu
+
+    rows = []
+    for N in sizes:
+        rng = np.random.default_rng(0)
+        A = rng.normal(size=(N, k, k))
+        D = jnp.asarray(np.einsum("tij,tkj->tik", A, A) + 10.0 * np.eye(k),
+                        jnp.float32)
+        U = jnp.asarray(rng.normal(size=(N - 1, k, k)) * 0.3, jnp.float32)
+        b = jnp.asarray(rng.normal(size=(N, k)), jnp.float32)
+        x_ref = np.asarray(ba.block_tridiag_solve(D, U, b))
+        ref_norm = float(np.linalg.norm(x_ref))
+
+        variants = {
+            "thomas": ba.block_tridiag_solve,
+            "chunked_spike": lambda D, U, b: ba.block_tridiag_solve_chunked(
+                D, U, b, ba._auto_chunks(D.shape[0])),
+            "bcr_base1": lambda D, U, b: ba.block_tridiag_solve_bcr(
+                D, U, b, base=1),
+            "bcr_base16": lambda D, U, b: ba.block_tridiag_solve_bcr(
+                D, U, b, base=16),
+        }
+        for name, fn in variants.items():
+            f = jax.jit(fn)
+            x = np.asarray(f(D, U, b))
+            rel = float(np.linalg.norm(x - x_ref)) / ref_norm
+
+            def step(carry, Uc, f=f):
+                DD, bb = carry
+                return f(DD, Uc, bb)
+
+            def chain(carry, out):
+                DD, bb = carry
+                return (DD + 1e-30 * out[:, :, None] * out[:, None, :],
+                        bb + 1e-30 * out)
+
+            t = mfu.time_looped(step, chain, (D, b), U, R=R,
+                                repeats=repeats)
+            rows.append({"kernel": "block_tridiag", "variant": name, "N": N,
+                         "device_ms": round(t * 1e3, 3),
+                         "rel_err_vs_thomas": float(f"{rel:.2e}")})
+            print(json.dumps(rows[-1]), flush=True)
+    return rows
+
+
+def main(argv=None):
+    import argparse
+
+    import jax
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("benches", nargs="*",
+                    default=["visible_count", "assemble"],
+                    choices=["visible_count", "assemble", "tridiag"],
+                    help="which benchmarks to run (default: the two "
+                         "Pallas-vs-XLA kernels; 'tridiag' sweeps the "
+                         "block-tridiagonal solve variants)")
+    args = ap.parse_args(argv)
 
     jax.config.update("jax_default_matmul_precision", "highest")
     from vinsat_tpu.utils.cache import cache_dir as _host_cache_dir
@@ -146,8 +215,12 @@ def main():
                       _host_cache_dir("/root/repo/.jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     print(json.dumps({"device": str(jax.devices()[0])}))
-    bench_visible_count()
-    bench_assemble()
+    if "visible_count" in args.benches:
+        bench_visible_count()
+    if "assemble" in args.benches:
+        bench_assemble()
+    if "tridiag" in args.benches:
+        bench_tridiag()
 
 
 if __name__ == "__main__":

@@ -216,7 +216,8 @@ def stage_programs(params, dtype):
 
     @jax.jit
     def solve_stage(D, U, b):
-        return ba.jacobi_scaled_tridiag_solve(D, U, b)
+        return ba.jacobi_scaled_tridiag_solve(
+            D, U, b, variant=params.tridiag_variant)
 
     @jax.jit
     def iteration_stage(states, prob):
@@ -234,7 +235,7 @@ def stage_programs(params, dtype):
 
 def measure(N: int, obs_per_knot: int = 8, gap_s: float = 350.0,
             dtype_str: str = "float32", repeats: int = 5, loop_R: int = 64,
-            params=None) -> Dict[str, Dict[str, float]]:
+            params=None, stages=None) -> Dict[str, Dict[str, float]]:
     """Measure all stages at one problem size.
 
     Per-op device time comes from `time_looped` (R data-chained instances
@@ -261,6 +262,7 @@ def measure(N: int, obs_per_knot: int = 8, gap_s: float = 350.0,
 
     peak_tflops, peak_gbs = chip_peaks()
     out: Dict[str, Dict[str, float]] = {}
+    want = (lambda name: stages is None or name in stages)
 
     def record(name, t, cost):
         flops, bytes_ = cost["flops"], cost["bytes"]
@@ -285,18 +287,20 @@ def measure(N: int, obs_per_knot: int = 8, gap_s: float = 350.0,
         return (rp.uv.sum() + rp.J.sum() + dyn.res_pv.sum() + dyn.A.sum())
 
     chain = (lambda st, s: st + tiny * s)
-    t = time_looped(factors_step, chain, states, prob, R=loop_R,
-                    repeats=repeats)
-    record("factors", t, compiled_cost(progs["factors"], states, prob))
+    if want("factors"):
+        t = time_looped(factors_step, chain, states, prob, R=loop_R,
+                        repeats=repeats)
+        record("factors", t, compiled_cost(progs["factors"], states, prob))
 
     # ---- assemble --------------------------------------------------------
     def assemble_step(st, prob):
         D, g = progs["assemble"].__wrapped__(st, prob)
         return D.sum() + g.sum()
 
-    t = time_looped(assemble_step, chain, states, prob, R=loop_R,
-                    repeats=repeats)
-    record("assemble", t, compiled_cost(progs["assemble"], states, prob))
+    if want("assemble"):
+        t = time_looped(assemble_step, chain, states, prob, R=loop_R,
+                        repeats=repeats)
+        record("assemble", t, compiled_cost(progs["assemble"], states, prob))
 
     # ---- solve -----------------------------------------------------------
     D_blocks, g = progs["assemble"](states, prob)
@@ -305,12 +309,30 @@ def measure(N: int, obs_per_knot: int = 8, gap_s: float = 350.0,
     U = jnp.einsum("tij,tkj->tik", A, A) * 0.01
     D_spd = D_blocks + 10.0 * jnp.eye(9, dtype=dtype)[None]
 
-    def solve_step(b, D, U):
-        return ba.jacobi_scaled_tridiag_solve(D, U, b)
+    # nested jit = a call boundary around the solve, so XLA schedules the
+    # deep BCR graph the same way a standalone dispatch would (matches the
+    # bench_kernels tridiag harness within noise).
+    solve_jit = jax.jit(
+        lambda D, U, b: ba.jacobi_scaled_tridiag_solve(
+            D, U, b, variant=params.tridiag_variant))
 
-    t = time_looped(solve_step, (lambda b, x: b + tiny * x), g, D_spd, U,
-                    R=loop_R, repeats=repeats)
-    record("solve", t, compiled_cost(progs["solve"], D_spd, U, g))
+    def solve_step(carry, U):
+        D, b = carry
+        return solve_jit(D, U, b)
+
+    def solve_chain(carry, x):
+        # fold the solution back into BOTH D and b: with a loop-invariant D
+        # XLA hoists every D/U-only stage (LU factors, SPIKE spikes, BCR
+        # reduction) out of the timing loop and the measurement only sees
+        # the back-substitution — the real solver re-solves with a fresh
+        # D + lambda*I every trial
+        D, b = carry
+        return (D + tiny * x[:, :, None] * x[:, None, :], b + tiny * x)
+
+    if want("solve"):
+        t = time_looped(solve_step, solve_chain, (D_spd, g), U,
+                        R=loop_R, repeats=repeats)
+        record("solve", t, compiled_cost(progs["solve"], D_spd, U, g))
 
     # ---- full iteration (natural state chaining) -------------------------
     def iter_step(st, prob):
@@ -318,10 +340,11 @@ def measure(N: int, obs_per_knot: int = 8, gap_s: float = 350.0,
                                jnp.asarray(1e-4, dtype), params=params)
         return step.states
 
-    t = time_looped(iter_step, (lambda st, out_st: out_st), states, prob,
-                    R=loop_R, repeats=repeats)
-    record("iteration", t,
-           compiled_cost(progs["iteration"], states, prob))
+    if want("iteration"):
+        t = time_looped(iter_step, (lambda st, out_st: out_st), states, prob,
+                        R=loop_R, repeats=repeats)
+        record("iteration", t,
+               compiled_cost(progs["iteration"], states, prob))
     return out
 
 
@@ -335,9 +358,17 @@ def main(argv=None):
     ap.add_argument("--dtype", default=None,
                     help="default: f32 on accelerators, f64 on cpu")
     ap.add_argument("--repeats", type=int, default=10)
+    ap.add_argument("--loop-r", type=int, default=64,
+                    help="chained ops per timing program (lower at very "
+                         "large N to bound program run time)")
     ap.add_argument("--batched-lambda", type=int, default=0,
                     help="SolverParams.batched_lambda for the iteration "
                          "stage (0 = sequential while_loop)")
+    ap.add_argument("--stages", default=None,
+                    help="comma list of stages to measure (default: all)")
+    ap.add_argument("--tridiag-variant", default="auto",
+                    help="force the block-tridiag solve algorithm "
+                         "(auto|thomas|chunked|bcr1|bcr16)")
     args = ap.parse_args(argv)
 
     import jax
@@ -358,16 +389,16 @@ def main(argv=None):
     }))
     from vinsat_tpu.estimation import ba as _ba
 
+    stages = args.stages.split(",") if args.stages else None
     for n in [int(s) for s in args.sizes.split(",")]:
-        params = None
-        if args.batched_lambda:
-            gap_s = 350.0
-            params = _ba.SolverParams(
-                num_hops=int(np.ceil(gap_s / 100.0)) + 1, max_substep=100.0,
-                batched_lambda=args.batched_lambda)
+        gap_s = 350.0
+        params = _ba.SolverParams(
+            num_hops=int(np.ceil(gap_s / 100.0)) + 1, max_substep=100.0,
+            batched_lambda=args.batched_lambda,
+            tridiag_variant=args.tridiag_variant)
         rep = measure(n, obs_per_knot=args.obs_per_knot,
                       dtype_str=args.dtype, repeats=args.repeats,
-                      params=params)
+                      loop_R=args.loop_r, params=params, stages=stages)
         for stage, row in rep.items():
             print(json.dumps({
                 "N": n, "stage": stage,
