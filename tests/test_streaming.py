@@ -246,3 +246,20 @@ def test_failure_recovery_rerun(short_seq, monkeypatch):
     assert np.isfinite(res.final_states).all()
     assert res.errors[-1] < 5.0
     assert poisoned["left"] == 0, "poisoned solve never triggered"
+
+
+def test_fast_async_path_matches_sync(short_seq):
+    """The async fast path (device-resident states, deferred error fetch)
+    must reproduce the sync driver: bit-identical final states (same jitted
+    solves on bit-identical inputs) and error records to reporting
+    roundoff (device- vs host-side norm)."""
+    from vinsat_tpu.estimation.window import stream_orbit
+
+    rows = _gapped_rows(short_seq)
+    r_fast = stream_orbit(rows, short_seq.orbit_pos_eci_km, seed=3)
+    r_sync = stream_orbit(rows, short_seq.orbit_pos_eci_km, seed=3,
+                          fast=False)
+    assert np.array_equal(r_fast.final_states, r_sync.final_states)
+    assert np.array_equal(r_fast.times, r_sync.times)
+    np.testing.assert_allclose(r_fast.errors, r_sync.errors,
+                               rtol=1e-12, atol=1e-12)

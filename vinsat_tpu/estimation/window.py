@@ -215,8 +215,7 @@ def solve_window_reg(states0, prob: ba.BAProblem, prior: ba.PriorState,
     return _lm_loop(step_i, states0, lamda_init, 0, num_iters, params)
 
 
-@functools.partial(jax.jit, static_argnames=("max_len",))
-def propagate_segment(state10, omega_seq, length, max_len: int):
+def _propagate_impl(state10, omega_seq, length, max_len: int):
     """Dense 1 Hz propagation of one state over `length` steps (padded to
     max_len), rolling the quaternion with the IMU rotations.
 
@@ -241,6 +240,47 @@ def propagate_segment(state10, omega_seq, length, max_len: int):
     xs = jnp.concatenate([x0[None], xs], axis=0)
     qs = jnp.concatenate([q[None], qs], axis=0)
     return jnp.concatenate([xs[:, :3], qs, xs[:, 3:6]], axis=-1)
+
+
+propagate_segment = jax.jit(_propagate_impl, static_argnames=("max_len",))
+
+
+@functools.partial(jax.jit, static_argnames=("max_len", "n_pad"))
+def _prop_window_fast(cur_padded, last_idx, omega_pad, span, rel_idx_pad,
+                      abs_idx_pad, t_prev, t_final, gt_states,
+                      max_len: int, n_pad: int):
+    """Fused inter-window step of the async streaming fast path, fully on
+    device (no host sync): propagate the last optimized knot across the gap
+    (od_pipe.py:1006-1029), gather the propagated states at the new knot
+    times, compute the propagation errors against GT, and assemble the next
+    window's padded initial states [optimized prefix | propagated new knots
+    | identity padding].
+
+    cur_padded: previous window's padded solve output (n_prev, 10);
+    rel_idx_pad[j]: position of knot t_prev+j on the propagated path;
+    abs_idx_pad[j]: absolute knot row t_prev+j into gt_states (clipped).
+    Entries at j >= t_final - t_prev are padding (masked by the caller).
+    Returns (st0 (n_pad, 10), err_prop (n_pad,)).
+    """
+    path = _propagate_impl(cur_padded[last_idx], omega_pad, span, max_len)
+    prop = jnp.take(path, rel_idx_pad, axis=0)
+    gt_prop = jnp.take(gt_states, abs_idx_pad, axis=0)
+    err_prop = jnp.linalg.norm(prop[:, :3] - gt_prop[:, :3], axis=-1)
+    j = jnp.arange(n_pad)
+    old = jnp.take(cur_padded,
+                   jnp.minimum(j, cur_padded.shape[0] - 1), axis=0)
+    new = jnp.take(prop, jnp.clip(j - t_prev, 0, n_pad - 1), axis=0)
+    st = jnp.where((j < t_prev)[:, None], old, new)
+    idq = jnp.zeros((n_pad, 10), st.dtype).at[:, 6].set(1.0)
+    st = jnp.where((j < t_final)[:, None], st, idq)
+    return st, err_prop
+
+
+@jax.jit
+def _end_stats(out, gt_states, idx):
+    """End-of-window error + solve-health flag, on device (fast path)."""
+    err = jnp.linalg.norm(out[idx, :3] - gt_states[idx, :3])
+    return err, jnp.isfinite(out).all()
 
 
 class StreamingResult(NamedTuple):
@@ -356,14 +396,12 @@ def _f64_prep_context():
         jax.config.update("jax_enable_x64", False)
 
 
-def _pad_problem(states, gaps, cum_rot, lm_xyz, lm_uv, conf, ii,
-                 n_pad: int, m_pad: int, dtype,
-                 intrinsics=None) -> Tuple[jnp.ndarray, ba.BAProblem]:
-    n = states.shape[0]
+def _pad_prob(n: int, gaps, cum_rot, lm_xyz, lm_uv, conf, ii,
+              n_pad: int, m_pad: int, dtype,
+              intrinsics=None) -> ba.BAProblem:
+    """Pad the host-side (states-independent) problem arrays to bucketed
+    shapes.  `n` = number of real knots."""
     m = lm_uv.shape[0]
-    st = np.zeros((n_pad, 10))
-    st[:, 6] = 1.0  # identity quats on padding
-    st[:n] = states
     g = np.zeros(n_pad)
     g[:n] = gaps
     cr = np.zeros((n_pad, 4))
@@ -399,7 +437,19 @@ def _pad_problem(states, gaps, cum_rot, lm_xyz, lm_uv, conf, ii,
                      else intrinsics), jd,
         ),
     )
-    return jnp.asarray(st, jd), prob
+    return prob
+
+
+def _pad_problem(states, gaps, cum_rot, lm_xyz, lm_uv, conf, ii,
+                 n_pad: int, m_pad: int, dtype,
+                 intrinsics=None) -> Tuple[jnp.ndarray, ba.BAProblem]:
+    n = states.shape[0]
+    st = np.zeros((n_pad, 10))
+    st[:, 6] = 1.0  # identity quats on padding
+    st[:n] = states
+    prob = _pad_prob(n, gaps, cum_rot, lm_xyz, lm_uv, conf, ii, n_pad, m_pad,
+                     dtype, intrinsics=intrinsics)
+    return jnp.asarray(st, jnp.dtype(dtype)), prob
 
 
 def stream_orbit(det_rows: np.ndarray, orbit_pos_eci_km: np.ndarray,
@@ -408,7 +458,7 @@ def stream_orbit(det_rows: np.ndarray, orbit_pos_eci_km: np.ndarray,
                  intrinsics: Optional[np.ndarray] = None,
                  metrics=None, checkpoint_path: Optional[str] = None,
                  resume_from: Optional[str] = None,
-                 timer=None) -> StreamingResult:
+                 timer=None, fast: Optional[bool] = None) -> StreamingResult:
     """Run streaming OD on one detection sequence.
 
     det_rows: (M, 6) [frame, lon, lat, xc, yc, conf]; orbit_pos_eci_km:
@@ -427,6 +477,18 @@ def stream_orbit(det_rows: np.ndarray, orbit_pos_eci_km: np.ndarray,
     driver phase (prep / propagate / pad_transfer / solve / marginal); on a
     remote-TPU tunnel each phase's cost is dominated by its host round
     trips, so this is the dispatch-accounting view of the stream.
+
+    fast: async dispatch mode (None = auto).  On the plain growing-prefix
+    path (no prior/marginalization/NEES/metrics/checkpoint/profiling) the
+    whole stream is enqueued WITHOUT per-window host syncs: states stay
+    device-resident, inter-window propagation + window assembly + error
+    recording run as one fused jitted program per window, and errors /
+    solve-health flags are fetched once at the end.  Numerically identical
+    to the sync path (same jitted solves on bit-identical inputs); if any
+    window solve produced non-finite states the stream transparently
+    re-runs in sync mode, which has the per-window damped-retry recovery.
+    Over a remote-TPU tunnel this hides ~all dispatch latency (measured:
+    1.9 s -> ~1.0 s on the 7-window headline bench).
     """
     profiling_on = timer is not None
     if timer is None:
@@ -509,6 +571,7 @@ def stream_orbit(det_rows: np.ndarray, orbit_pos_eci_km: np.ndarray,
     t_prev = 0
     i_prev = 0
     max_hops = int(np.ceil(gaps.max() / solver.max_substep)) + 1
+    solver_in = solver  # original params (for the sync-mode fallback re-run)
     # a caller-set SolverParams.max_iters wins over the streaming default;
     # opting out of the extra-iteration budget entirely (the bit-exact
     # fixed-count path) is cfg.max_iters=0 with the default solver
@@ -566,9 +629,41 @@ def stream_orbit(det_rows: np.ndarray, orbit_pos_eci_km: np.ndarray,
         ))
         times.append(knot_t[t_init:])
 
+    def record_tail_fast(t_init: int):
+        # tail propagation, device-side (errors fetched at stream end)
+        span = int(knot_t[-1] - knot_t[t_init - 1])
+        om = gt.omega_full[knot_t[t_init - 1]:knot_t[-1]]
+        max_len = bucket(span, cfg.prop_bucket, cfg.prop_bucket)
+        om_pad = np.zeros((max_len, 3))
+        om_pad[:om.shape[0]] = om
+        new_knots = knot_t[t_init:] - knot_t[t_init - 1]
+        count = len(new_knots)
+        n_pad_t = bucket(count, cfg.knot_bucket)
+        rel = np.zeros(n_pad_t, np.int32)
+        rel[:count] = new_knots
+        absi = np.zeros(n_pad_t, np.int32)
+        absi[:count] = np.arange(t_init, len(knot_t))
+        _, err_dev_t = _prop_window_fast(
+            out_dev, jnp.asarray(t_init - 1), jnp.asarray(om_pad, jd),
+            jnp.asarray(span), jnp.asarray(rel), jnp.asarray(absi),
+            jnp.asarray(0), jnp.asarray(0), gt_dev, max_len, n_pad_t,
+        )
+        errors.append((err_dev_t, count))
+        times.append(knot_t[t_init:])
+
     jd = jnp.dtype(dtype)
     bounded = cfg.marginalize or cfg.use_ekf_hybrid
     track = cfg.track_nees or (cfg.auto_calibrate and bounded)
+
+    # async fast path: only the plain growing-prefix mode qualifies (every
+    # other mode needs host values between windows)
+    fast_ok = (checkpoint_path is None and resume_from is None
+               and metrics is None and not profiling_on
+               and not cfg.use_prior and not bounded and not track)
+    fast = fast_ok if fast is None else (bool(fast) and fast_ok)
+    out_dev = None  # device-resident padded solve output (fast path)
+    fin_dev: List = []  # per-window device finite-ness flags (fast path)
+    gt_dev = jnp.asarray(gt.states, jd) if fast else None
 
     def anchor_info(H9: np.ndarray) -> np.ndarray:
         """Inflated anchor-prior information: measured NEES factors once
@@ -610,8 +705,34 @@ def stream_orbit(det_rows: np.ndarray, orbit_pos_eci_km: np.ndarray,
                 record_tail(t_prev)
             continue
         sub_anchor: Optional[int] = None
+        st0_dev = None
         if w == 0:
             window_states = states[:t_final]
+        elif fast:
+            # fused device-side propagate + assemble + error recording; the
+            # host never waits on the device (errors fetched at stream end)
+            t_init = t_prev
+            span = int(knot_t[t_final - 1] - knot_t[t_init - 1])
+            om = gt.omega_full[knot_t[t_init - 1]:knot_t[t_final - 1]]
+            max_len = bucket(span, cfg.prop_bucket, cfg.prop_bucket)
+            om_pad = np.zeros((max_len, 3))
+            om_pad[:om.shape[0]] = om
+            new_knots = knot_t[t_init:t_final] - knot_t[t_init - 1]
+            count = t_final - t_init
+            n_pad = bucket(t_final, cfg.knot_bucket)
+            rel = np.zeros(n_pad, np.int32)
+            rel[:count] = new_knots
+            absi = np.zeros(n_pad, np.int32)
+            absi[:count] = np.arange(t_init, t_final)
+            st0_dev, err_dev_w = _prop_window_fast(
+                out_dev, jnp.asarray(t_prev - 1), jnp.asarray(om_pad, jd),
+                jnp.asarray(span), jnp.asarray(rel), jnp.asarray(absi),
+                jnp.asarray(t_prev), jnp.asarray(t_final), gt_dev,
+                max_len, n_pad,
+            )
+            if count > 1:
+                errors.append((err_dev_w, count - 1))
+                times.append(knot_t[t_init:t_final][:-1])
         else:
             # propagate from the last optimized knot across the gap
             # (od_pipe.py:1006-1029)
@@ -701,6 +822,37 @@ def stream_orbit(det_rows: np.ndarray, orbit_pos_eci_km: np.ndarray,
             return (warm, jnp.asarray(cfg.lambda_init, jnp.dtype(dtype)),
                     jnp.zeros((9, 9), jnp.dtype(dtype)),
                     jnp.asarray(np.nan, jnp.dtype(dtype)))
+
+        if fast:
+            # ---- async growing-prefix solve (no host sync) ---------------
+            n_pad = bucket(t_final, cfg.knot_bucket)
+            m_pad = bucket(i_final, cfg.obs_bucket, cfg.obs_bucket)
+            prob = _pad_prob(
+                t_final, gaps[:t_final], cum_rot[:t_final],
+                gt.landmarks_xyz[:i_final], graph.uv[:i_final],
+                graph.conf[:i_final], graph.ii[:i_final], n_pad, m_pad,
+                dtype, intrinsics=np.asarray(intr),
+            )
+            if st0_dev is None:  # window 0: initial states are host-known
+                st_np = np.zeros((n_pad, 10))
+                st_np[:, 6] = 1.0
+                st_np[:t_final] = window_states
+                st0_dev = jnp.asarray(st_np, jd)
+            out_states, lam_new, last_h, mean_res = solve_window(
+                st0_dev, prob, lamda, jnp.asarray(init_iters),
+                cfg.num_iters, solver,
+            )
+            e_dev, f_dev = _end_stats(out_states, gt_dev,
+                                      jnp.asarray(t_final - 1))
+            errors.append((e_dev, -1))
+            times.append(knot_t[t_final - 1:t_final])
+            fin_dev.append(f_dev)
+            out_dev = out_states
+            t_prev = t_final
+            i_prev = i_final
+            if seq_end and t_final < len(knot_t):
+                record_tail_fast(t_final)
+            continue
 
         if sub_anchor is not None:
             # ---- bounded-memory solve over [anchor, t_final) -------------
@@ -855,6 +1007,33 @@ def stream_orbit(det_rows: np.ndarray, orbit_pos_eci_km: np.ndarray,
 
         if seq_end and t_final < len(knot_t):
             record_tail(t_final)
+
+    if fast:
+        # single end-of-stream sync: fetch all deferred error arrays and the
+        # per-window solve-health flags in one device_get
+        dev_arrays = [e[0] for e in errors if isinstance(e, tuple)]
+        fetched = jax.device_get([dev_arrays, fin_dev, out_dev])
+        fins, out_np = fetched[1], fetched[2]
+        if not all(bool(f) for f in fins):
+            # some window solve produced non-finite states: re-run the
+            # stream in sync mode, which has the per-window damped-retry
+            # failure recovery (`attempt`)
+            return stream_orbit(
+                det_rows, orbit_pos_eci_km, seed=seed, cfg=cfg,
+                solver=solver_in, intrinsics=intrinsics, metrics=metrics,
+                checkpoint_path=checkpoint_path, resume_from=resume_from,
+                timer=timer if profiling_on else None, fast=False,
+            )
+        it = iter(fetched[0])
+        resolved: List[np.ndarray] = []
+        for e in errors:
+            if isinstance(e, tuple):
+                arr = np.asarray(next(it), dtype=np.float64)
+                resolved.append(arr[None] if e[1] == -1 else arr[:e[1]])
+            else:
+                resolved.append(e)
+        errors = resolved
+        cur_states = np.asarray(out_np)[:t_prev]
 
     return StreamingResult(
         errors=np.concatenate(errors) if errors else np.array([]),
