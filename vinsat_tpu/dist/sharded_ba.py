@@ -50,6 +50,7 @@ class ShardedProblem(NamedTuple):
     obs_valid(B, N, D)
     pair_valid(B, N)        1 if the dynamics pair (t, t+1) is active
     intrinsics (4,)
+    knot_valid(B, N)        1 for real (non-padding) knots; None = all ones
     """
 
     states: jnp.ndarray
@@ -61,6 +62,22 @@ class ShardedProblem(NamedTuple):
     obs_valid: jnp.ndarray
     pair_valid: jnp.ndarray
     intrinsics: jnp.ndarray
+    knot_valid: jnp.ndarray = None
+
+
+class ShardedPrior(NamedTuple):
+    """Per-knot marginal prior for the sharded BA_reg path — the
+    distributed analog of ba.PriorState (prior_gpu, BA_utils.py:604-676).
+    Block-diagonal in knots, so it shards exactly with them: NO extra
+    communication.  Knots without a prior carry valid=0 (exact no-op).
+
+    prop_states (B, N, 10); H_state (B, N, 6, 6); H_rot (B, N, 3, 3);
+    valid (B, N)."""
+
+    prop_states: jnp.ndarray
+    H_state: jnp.ndarray
+    H_rot: jnp.ndarray
+    valid: jnp.ndarray
 
 
 def _halo_from_right(x, axis, nshards):
@@ -106,16 +123,27 @@ def _distributed_median_abs(x, valid_mask, axis, iters: int = 30):
 def _one_orbit_iteration(sched_iter, lamda, states_l, gaps_l, cum_l, lm_l,
                          uv_l, conf_l, ov_l, pv_l, intr, params: SolverParams,
                          axis: str, nshards: int, initialize=0.0,
-                         use_pallas_assembly: bool = False):
+                         use_pallas_assembly: bool = False,
+                         kv_l=None, prior=None,
+                         quat_coeff_prior: float = 1.0,
+                         vel_coeff_prior: float = 1.0):
     """One LM iteration for ONE orbit whose knots are sharded over `axis`.
 
     All *_l arrays are the local knot chunk (Nl, ...).  Runs inside
     shard_map; vmapped over the local orbit batch by the caller.
+
+    kv_l (Nl,): knot-validity mask (only used for the prior residual-mean
+    denominator, matching ba.ba_reg_iteration's mean_with_prior).
+    prior: optional local (prop_states, H_state, H_rot, valid) tuple —
+    enables the BA_reg prior factor (block-diagonal, zero communication).
+    Returns (states_new, lam_next, accepted_trial_residual).
     """
     dtype = states_l.dtype
     Nl = states_l.shape[0]
     D = uv_l.shape[1]
     qc, vc = params.quat_coeff, params.vel_coeff
+    if kv_l is None:
+        kv_l = jnp.ones(Nl, dtype)
 
     def reproj_terms(states_loc):
         """Per-knot-budget reprojection: flatten (Nl, D) obs."""
@@ -176,8 +204,19 @@ def _one_orbit_iteration(sched_iter, lamda, states_l, gaps_l, cum_l, lm_l,
         JgW = Jg * w[..., None, None]
         D_obs = jnp.einsum("ndki,ndkj->nij", JgW, Jg)  # (Nl, 9, 9)
         g_obs = jnp.einsum("ndki,ndk->ni", JgW, r_obs)
+    # --- optional BA_reg prior factor (block-diagonal — local) ----------
+    pf = None
+    if prior is not None:
+        ps_l, Hs_l, Hr_l, pvalid_l = prior
+        pf = factors.prior_factor(
+            states_l, ps_l, Hs_l, Hr_l, vel_coeff_prior, quat_coeff_prior,
+            valid=pvalid_l * kv_l,
+        )
+
     D_blk = D_obs + sigma * jnp.einsum("tki,tkj->tij", A, A)
     D_blk = D_blk + sigma * dyn.Hq_diag[:-1]
+    if pf is not None:
+        D_blk = D_blk + jnp.einsum("nki,nkj->nij", pf.Jp, pf.Jp) + pf.Hq_diag
     # B^T B contribution belongs to knot t+1: local for t<Nl-1, remote for
     # the boundary pair
     BtB = sigma * jnp.einsum("tki,tkj->tij", B, B)
@@ -198,17 +237,28 @@ def _one_orbit_iteration(sched_iter, lamda, states_l, gaps_l, cum_l, lm_l,
     qgrad = dyn.qgrad[:-1]
     qgrad = qgrad.at[0].add(_push_right(dyn.qgrad[-1], axis, nshards))
     JTr = JgT_r - sigma * JfT_r - sigma * qgrad  # (Nl, 9)
+    if pf is not None:
+        JTr = JTr - jnp.einsum("nki,nk->ni", pf.Jp, pf.res[:, :6]) - pf.qgrad
 
     # --- residual means (global) ---------------------------------------
-    def global_mean_res(r_o, r_p):
+    # pred_dim 6 during vision-only init, 7 otherwise (the quat residual
+    # row), matching ba._residual_means / mean_with_prior
+    pred_dim = jnp.where(dyn_on > 0, 7.0, 6.0)
+
+    def global_mean_res(r_o, r_p, r_pri=None):
         so = jax.lax.psum(jnp.sum(jnp.abs(r_o) * ov_l[..., None]), axis)
         no = jax.lax.psum(jnp.sum(2.0 * ov_l), axis)
         sp = jax.lax.psum(jnp.sum(jnp.abs(r_p) * jnp.sqrt(sigma)), axis)
-        np_ = jax.lax.psum(7.0 * jnp.sum(pv_l), axis)
+        np_ = jax.lax.psum(pred_dim * jnp.sum(pv_l), axis)
+        if r_pri is not None:
+            so = so + jax.lax.psum(jnp.sum(jnp.abs(r_pri) * kv_l[:, None]),
+                                   axis)
+            no = no + jax.lax.psum(7.0 * jnp.sum(kv_l), axis)
         return (so + sp) / jnp.maximum(no + np_, 1.0)
 
     r_pred_full = jnp.concatenate([res_pv, res_q[:, None]], axis=-1)
-    init_residual = global_mean_res(r_obs, r_pred_full)
+    init_residual = global_mean_res(
+        r_obs, r_pred_full, None if pf is None else pf.res)
 
     eye = jnp.eye(9, dtype=dtype)
 
@@ -228,7 +278,14 @@ def _one_orbit_iteration(sched_iter, lamda, states_l, gaps_l, cum_l, lm_l,
             max_substep=params.max_substep, with_jacobian=False,
         )
         r_p = jnp.concatenate([d1.res_pv, d1.res_q[:, None]], axis=-1)
-        return global_mean_res(r_o * w[..., None], r_p)
+        r_pri1 = None
+        if prior is not None:
+            pf1 = factors.prior_factor(
+                states_new_l, ps_l, Hs_l, Hr_l, vel_coeff_prior,
+                quat_coeff_prior, valid=pvalid_l * kv_l,
+            )
+            r_pri1 = pf1.res
+        return global_mean_res(r_o * w[..., None], r_p, r_pri1)
 
     def solve_with(lamda):
         # symmetric Jacobi scaling for f32 conditioning (see
@@ -245,21 +302,22 @@ def _one_orbit_iteration(sched_iter, lamda, states_l, gaps_l, cum_l, lm_l,
         return retract(x * s)
 
     def cond(carry):
-        lam, done, _, _ = carry
+        lam, done, _, _, _ = carry
         return jnp.logical_and(jnp.logical_not(done),
                                lam <= params.lambda_max)
 
     def body(carry):
-        lam, _, _, _ = carry
+        lam, _, _, _, _ = carry
         st_new = solve_with(lam)
         trial = trial_residual(st_new)
-        return (lam * params.lambda_growth, trial < init_residual, st_new, lam)
+        return (lam * params.lambda_growth, trial < init_residual, st_new,
+                lam, trial)
 
     first = body((jnp.asarray(lamda, dtype), jnp.asarray(False), states_l,
-                  jnp.asarray(lamda, dtype)))
-    lam_f, _, states_new, _ = jax.lax.while_loop(cond, body, first)
+                  jnp.asarray(lamda, dtype), jnp.asarray(jnp.inf, dtype)))
+    lam_f, _, states_new, _, trial_res = jax.lax.while_loop(cond, body, first)
     lam_next = jnp.maximum(jnp.minimum(1e-1, lam_f * 0.01), 1e-4)
-    return states_new, lam_next
+    return states_new, lam_next, trial_res
 
 
 def make_sharded_ba_step(mesh: Mesh, params: SolverParams = SolverParams(),
@@ -277,11 +335,12 @@ def make_sharded_ba_step(mesh: Mesh, params: SolverParams = SolverParams(),
     def body(sched_iter, init_flag, lamda_b, states, gaps, cum, lm, uv,
              conf, ov, pv, intr):
         def per_orbit(lam, st, g, cr, l, u, cf, o, p):
-            return _one_orbit_iteration(
+            st_new, lam_next, _ = _one_orbit_iteration(
                 sched_iter, lam, st, g, cr, l, u, cf, o, p, intr, params,
                 axis, nshards, initialize=init_flag,
                 use_pallas_assembly=use_pallas_assembly,
             )
+            return st_new, lam_next
 
         return jax.vmap(per_orbit)(lamda_b, states, gaps, cum, lm, uv, conf,
                                    ov, pv)
@@ -304,3 +363,110 @@ def make_sharded_ba_step(mesh: Mesh, params: SolverParams = SolverParams(),
                   prob.pair_valid, prob.intrinsics)
 
     return step
+
+
+def make_sharded_window_solver(mesh: Mesh,
+                               params: SolverParams = SolverParams(),
+                               num_iters: int = 20, init_iters: int = 0,
+                               with_prior: bool = False,
+                               quat_coeff_prior: float = 1.0,
+                               vel_coeff_prior: float = 1.0):
+    """Full multi-iteration window solve on the mesh — the distributed
+    analog of window.solve_window / solve_window_reg (solver parity with
+    the single-chip streaming path).
+
+    The whole LM chain runs INSIDE one jitted shard_map program:
+      * params.max_iters <= num_iters — exactly num_iters iterations,
+        returning the LAST iterate (the reference-exact fixed-count budget,
+        od_pipe.py:1036-1040);
+      * params.max_iters > num_iters — run max_iters iterations and return
+        the BEST-residual iterate (window._lm_loop's run-to-max budget: the
+        λ warm-restart chain oscillates after convergence, and on weakly-
+        observable windows the error keeps improving while the residual
+        moves <1% — docs/BENCHMARKS.md "seed-11").  The best tracker resets
+        when the vision-only init phase ends (incomparable residual metric).
+    The per-iteration residual is already a psum'd replicated scalar, so
+    best-iterate selection needs NO extra collectives.
+
+    Returns solve(lamda0 (B,), prob [, prior: ShardedPrior]) ->
+    (states (B, N, 10), lamda (B,), mean_residual (B,)).
+    """
+    nshards = mesh.shape["arc"]
+    axis = "arc"
+    total_iters = max(params.max_iters, num_iters)
+    run_to_max = params.max_iters > num_iters
+
+    def body(lamda_b, states, gaps, cum, lm, uv, conf, ov, pv, kv, intr,
+             p_ps, p_hs, p_hr, p_val):
+        def per_orbit(lam0, st0, g, cr, l, u, cf, o, p, k, pps, phs, phr,
+                      pvl):
+            prior_l = (pps, phs, phr, pvl) if with_prior else None
+
+            def step_i(i, st, lam):
+                return _one_orbit_iteration(
+                    i, lam, st, g, cr, l, u, cf, o, p, intr, params,
+                    axis, nshards,
+                    initialize=(i < init_iters).astype(st.dtype),
+                    kv_l=k, prior=prior_l,
+                    quat_coeff_prior=quat_coeff_prior,
+                    vel_coeff_prior=vel_coeff_prior,
+                )
+
+            dtype = st0.dtype
+            if not run_to_max:
+                def body_i(i, carry):
+                    st, lam, _ = carry
+                    return step_i(i, st, lam)
+
+                st, lam, res = jax.lax.fori_loop(
+                    0, num_iters, body_i,
+                    (st0, jnp.asarray(lam0, dtype), jnp.zeros((), dtype)))
+                return st, lam, res
+
+            def body_b(i, carry):
+                (st, lam), (best_st, best_res) = carry
+                st_new, lam_next, res = step_i(i, st, lam)
+                take = (i == init_iters) | (res < best_res)
+                best = (jnp.where(take, st_new, best_st),
+                        jnp.where(take, res, best_res))
+                return ((st_new, lam_next), best)
+
+            carry0 = ((st0, jnp.asarray(lam0, dtype)),
+                      (st0, jnp.asarray(jnp.inf, dtype)))
+            (_, lam_f), (best_st, best_res) = jax.lax.fori_loop(
+                0, total_iters, body_b, carry0)
+            return best_st, lam_f, best_res
+
+        return jax.vmap(per_orbit)(lamda_b, states, gaps, cum, lm, uv, conf,
+                                   ov, pv, kv, p_ps, p_hs, p_hr, p_val)
+
+    ospec = P("orbit")
+    bspec = P("orbit", "arc")
+    fn = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(ospec, bspec, bspec, bspec, bspec, bspec, bspec, bspec,
+                  bspec, bspec, P(), bspec, bspec, bspec, bspec),
+        out_specs=(bspec, ospec, ospec),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def solve(lamda_b, prob: ShardedProblem, prior: ShardedPrior = None):
+        dt = prob.states.dtype
+        B, N = prob.gaps.shape
+        kv = (prob.knot_valid if prob.knot_valid is not None
+              else jnp.ones((B, N), dt))
+        if prior is None:
+            prior = ShardedPrior(
+                prop_states=jnp.zeros((B, N, 10), dt)
+                .at[..., 6].set(1.0),
+                H_state=jnp.zeros((B, N, 6, 6), dt),
+                H_rot=jnp.zeros((B, N, 3, 3), dt),
+                valid=jnp.zeros((B, N), dt),
+            )
+        return fn(lamda_b, prob.states, prob.gaps, prob.cum_rot,
+                  prob.lm_xyz, prob.uv, prob.conf, prob.obs_valid,
+                  prob.pair_valid, kv, prob.intrinsics,
+                  prior.prop_states, prior.H_state, prior.H_rot, prior.valid)
+
+    return solve

@@ -452,6 +452,95 @@ def _pad_problem(states, gaps, cum_rot, lm_xyz, lm_uv, conf, ii,
     return jnp.asarray(st, jnp.dtype(dtype)), prob
 
 
+class PreparedStream(NamedTuple):
+    """Conditioned stream inputs shared by every streaming driver (single-
+    chip `stream_orbit` and the distributed `dist.stream`): the gated
+    detection graph, GT, noised initial states, inter-knot gaps and
+    cumulative rotations.  `states0 is None` flags a sequence with no
+    solvable graph (no observations survive gating, or < 2 knots)."""
+
+    graph: object
+    gt: object
+    states0: Optional[np.ndarray]
+    gaps: np.ndarray
+    cum_rot: np.ndarray
+    knot_t: np.ndarray
+    intr_np: np.ndarray
+
+
+def prepare_stream(det_rows: np.ndarray, orbit_pos_eci_km: np.ndarray,
+                   seed: int, cfg: StreamingConfig,
+                   intrinsics: Optional[np.ndarray] = None
+                   ) -> Optional[PreparedStream]:
+    """Ingest + condition one detection sequence (od_pipe.py:924-969):
+    graph build, GT conditioning, GT-reprojection gating, noise_level
+    interpolation, deterministic initial-noise draw, gaps + cumulative
+    rotations.  Conditioning runs in f64 wherever the runtime allows
+    (_f64_prep_context) — f32 conditioning costs km-level final error.
+
+    Returns None for an empty detection sequence.
+    """
+    rng = np.random.default_rng(seed)
+    T = orbit_pos_eci_km.shape[0]
+    if len(det_rows) == 0:
+        return None
+    graph = ingest.build_graph(det_rows, T)
+
+    with _f64_prep_context() as pjd:
+        if pjd is None:
+            pjd = jnp.dtype(cfg.dtype)
+        gt = ingest.process_ground_truths(orbit_pos_eci_km, graph,
+                                          device_dtype=pjd)
+
+        # gate on GT reprojection (od_pipe.py:929-930)
+        intr_np = np.asarray(
+            intrinsics if intrinsics is not None
+            else np.array(REFERENCE_INTRINSICS)
+        )
+        uv_proj = np.asarray(
+            factors.project_landmarks(
+                jnp.asarray(gt.states, pjd),
+                jnp.asarray(gt.landmarks_xyz, pjd),
+                jnp.asarray(graph.ii, jnp.int32), jnp.asarray(intr_np, pjd),
+            )
+        )
+        graph, gt, kept = ingest.gate_and_compact(graph, gt, uv_proj)
+
+        N = len(graph.time_idx)
+        if len(graph.ii) == 0 or N < 2:
+            return PreparedStream(graph, gt, None, np.zeros(0), np.zeros(0),
+                                  graph.time_idx, intr_np)
+
+        if cfg.noise_level != 1.0:
+            # interpolate measurements toward perfect GT reprojections
+            # (od_pipe.py:941-942)
+            uv_kept = uv_proj[kept]
+            graph = graph._replace(
+                uv=graph.uv + (uv_kept - graph.uv) * (1.0 - cfg.noise_level)
+            )
+
+        # initial guess: GT + noise (od_pipe.py:962-969)
+        pos0 = gt.states[:, :3] + rng.standard_normal((N, 3)) * cfg.noise_pos_km
+        phi = np.asarray(quat.log(jnp.asarray(gt.states[:, 3:7], pjd)))
+        phi = phi + rng.standard_normal((N, 3)) * cfg.noise_ori_rad
+        q0 = np.asarray(quat.exp(jnp.asarray(phi, pjd)))
+        vel_scale = np.abs(gt.states[:, 7:10]).mean()
+        vel0 = (gt.states[:, 7:10]
+                + rng.standard_normal((N, 3)) * vel_scale * cfg.noise_vel_rel)
+        states = np.concatenate([pos0, q0, vel0], axis=1)
+
+        # per-knot gap durations + cumulative rotations
+        knot_t = graph.time_idx
+        gaps = np.concatenate([np.diff(knot_t), [0]]).astype(np.float64)
+        cum_rot = np.asarray(
+            factors.cumulative_rotations(
+                jnp.asarray(gt.omega_full, pjd), 1.0,
+                jnp.asarray(knot_t, jnp.int32)
+            )
+        )
+    return PreparedStream(graph, gt, states, gaps, cum_rot, knot_t, intr_np)
+
+
 def stream_orbit(det_rows: np.ndarray, orbit_pos_eci_km: np.ndarray,
                  seed: int = 0, cfg: StreamingConfig = StreamingConfig(),
                  solver: ba.SolverParams = ba.SolverParams(),
@@ -495,67 +584,20 @@ def stream_orbit(det_rows: np.ndarray, orbit_pos_eci_km: np.ndarray,
         from vinsat_tpu.utils.profiling import StageTimer
 
         timer = StageTimer()  # discarded; keeps the stage blocks unconditional
-    rng = np.random.default_rng(seed)
     dtype = cfg.dtype
-    T = orbit_pos_eci_km.shape[0]
 
-    if len(det_rows) == 0:
+    with timer.stage("prep"):
+        prep = prepare_stream(det_rows, orbit_pos_eci_km, seed, cfg,
+                              intrinsics=intrinsics)
+    if prep is None:
         return StreamingResult(np.array([]), np.array([]), -1,
                                np.zeros((0, 10)), np.array([], dtype=np.int64))
-    graph = ingest.build_graph(det_rows, T)
-
-    with timer.stage("prep"), _f64_prep_context() as pjd:
-        if pjd is None:
-            pjd = jnp.dtype(dtype)
-        gt = ingest.process_ground_truths(orbit_pos_eci_km, graph,
-                                          device_dtype=pjd)
-
-        # gate on GT reprojection (od_pipe.py:929-930)
-        intr_np = np.asarray(
-            intrinsics if intrinsics is not None
-            else np.array(REFERENCE_INTRINSICS)
-        )
-        uv_proj = np.asarray(
-            factors.project_landmarks(
-                jnp.asarray(gt.states, pjd),
-                jnp.asarray(gt.landmarks_xyz, pjd),
-                jnp.asarray(graph.ii, jnp.int32), jnp.asarray(intr_np, pjd),
-            )
-        )
-        graph, gt, kept = ingest.gate_and_compact(graph, gt, uv_proj)
-
-        N = len(graph.time_idx)
-        if len(graph.ii) == 0 or N < 2:
-            return StreamingResult(np.array([]), np.array([]), -1,
-                                   gt.states, graph.time_idx)
-
-        if cfg.noise_level != 1.0:
-            # interpolate measurements toward perfect GT reprojections
-            # (od_pipe.py:941-942)
-            uv_kept = uv_proj[kept]
-            graph = graph._replace(
-                uv=graph.uv + (uv_kept - graph.uv) * (1.0 - cfg.noise_level)
-            )
-
-        # initial guess: GT + noise (od_pipe.py:962-969)
-        pos0 = gt.states[:, :3] + rng.standard_normal((N, 3)) * cfg.noise_pos_km
-        phi = np.asarray(quat.log(jnp.asarray(gt.states[:, 3:7], pjd)))
-        phi = phi + rng.standard_normal((N, 3)) * cfg.noise_ori_rad
-        q0 = np.asarray(quat.exp(jnp.asarray(phi, pjd)))
-        vel_scale = np.abs(gt.states[:, 7:10]).mean()
-        vel0 = (gt.states[:, 7:10]
-                + rng.standard_normal((N, 3)) * vel_scale * cfg.noise_vel_rel)
-        states = np.concatenate([pos0, q0, vel0], axis=1)
-
-        # per-knot gap durations + cumulative rotations
-        knot_t = graph.time_idx
-        gaps = np.concatenate([np.diff(knot_t), [0]]).astype(np.float64)
-        cum_rot = np.asarray(
-            factors.cumulative_rotations(
-                jnp.asarray(gt.omega_full, pjd), 1.0,
-                jnp.asarray(knot_t, jnp.int32)
-            )
-        )
+    if prep.states0 is None:
+        return StreamingResult(np.array([]), np.array([]), -1,
+                               prep.gt.states, prep.graph.time_idx)
+    graph, gt, states = prep.graph, prep.gt, prep.states0
+    gaps, cum_rot, knot_t, intr_np = (prep.gaps, prep.cum_rot, prep.knot_t,
+                                      prep.intr_np)
     intr = jnp.asarray(intr_np, jnp.dtype(dtype))
 
     windows = ingest.split_windows(graph.ii, knot_t)
