@@ -1,0 +1,91 @@
+"""Shooting-based terminal refinement (estimation/refine.py)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from vinsat_tpu.core import quat
+from vinsat_tpu.estimation import factors, refine
+from vinsat_tpu.sim import orbits
+
+INTR = jnp.array([3547.8512126219637, 3547.8512126219637, 2304.0, 1296.0])
+
+
+def _make_case(rng, n_knots=24, D=4, gap=120.0, px_noise=1.0):
+    duration = int(gap * (n_knots - 1))
+    traj = orbits.generate_trajectory(jax.random.PRNGKey(7),
+                                      duration_s=duration)
+    t_idx = (np.arange(n_knots) * gap).astype(int)
+    pos = np.asarray(traj.pos_eci)[t_idx]
+    q = np.asarray(traj.quat_nadir_eci)[t_idx]
+    vel = np.asarray(traj.vel_eci)[t_idx]
+    states_gt = np.concatenate([pos, q, vel], axis=1)
+
+    lm = np.zeros((n_knots * D, 3))
+    for k in range(n_knots):
+        ground = pos[k] * (6378.0 / np.linalg.norm(pos[k]))
+        lm[k * D:(k + 1) * D] = ground + rng.normal(size=(D, 3)) * 25.0
+    ii = np.repeat(np.arange(n_knots), D).astype(np.int32)
+    uv = np.asarray(factors.project_landmarks(
+        jnp.asarray(states_gt), jnp.asarray(lm), jnp.asarray(ii), INTR))
+    uv = uv + rng.normal(size=uv.shape) * px_noise
+    conf = rng.uniform(0.85, 1.0, n_knots * D)
+    gaps = np.concatenate([np.diff(t_idx), [0.0]]).astype(float)
+    return states_gt, gaps, lm, uv, conf, ii
+
+
+def test_shooting_recovers_terminal_state(rng):
+    """A dynamically-INCONSISTENT warm start (independent per-knot position
+    noise, velocity bias) must refine to near-GT terminal pos/vel — the
+    exact failure mode of finite-sigma knot BA that open-loop tails
+    amplify."""
+    states_gt, gaps, lm, uv, conf, ii = _make_case(rng)
+    warm = states_gt.copy()
+    warm[:, :3] += rng.normal(size=(warm.shape[0], 3)) * 0.5
+    warm[:, 7:10] += rng.normal(size=(warm.shape[0], 3)) * 1e-3 + 2e-3
+
+    refined = refine.refine_terminal(warm, gaps, lm, uv, conf, ii,
+                                     np.asarray(INTR), "float64")
+    err_warm = np.linalg.norm(warm[-1, :3] - states_gt[-1, :3])
+    err_ref = np.linalg.norm(refined[-1, :3] - states_gt[-1, :3])
+    verr_ref = np.linalg.norm(refined[-1, 7:10] - states_gt[-1, 7:10])
+    # measured: GN converges to the 1 px noise floor (residual 0.78 px);
+    # terminal error 0.079 km is this geometry's information limit (the
+    # zero-noise variant converges to 2 m) — pin at 0.12 km / 4x gain
+    assert err_ref < 0.12, (err_warm, err_ref)
+    assert err_ref < err_warm / 4
+    assert verr_ref < 5e-4
+    # attitudes are passed through untouched
+    np.testing.assert_array_equal(refined[:, 3:7], warm[:, 3:7])
+
+
+def test_shooting_no_regression_on_good_start(rng):
+    """Starting AT the ground truth, refinement must not move away (the
+    best-iterate guard + residual0 fallback)."""
+    states_gt, gaps, lm, uv, conf, ii = _make_case(rng, px_noise=0.5)
+    refined = refine.refine_terminal(states_gt.copy(), gaps, lm, uv, conf,
+                                     ii, np.asarray(INTR), "float64")
+    err = np.linalg.norm(refined[-1, :3] - states_gt[-1, :3])
+    assert err < 0.05, err
+
+
+def test_streaming_tail_refine_runs():
+    """cfg.tail_refine end-to-end through the streaming driver on a gapped
+    sequence with an open-loop tail: runs, stays finite, and the tail does
+    not regress vs the unrefined stream."""
+    from vinsat_tpu import pipeline
+    from vinsat_tpu.estimation.window import StreamingConfig, stream_orbit
+
+    seq = pipeline.simulate_sequence(1, duration_s=3600, frame_stride=10,
+                                     along_track=True, pass_every_s=1200,
+                                     pass_len_s=240)
+    cfg0 = StreamingConfig(max_iters=30)
+    r0 = stream_orbit(seq.det_rows, seq.orbit_pos_eci_km, seed=1, cfg=cfg0,
+                      fast=False)
+    r1 = stream_orbit(seq.det_rows, seq.orbit_pos_eci_km, seed=1,
+                      cfg=cfg0._replace(tail_refine=True), fast=False)
+    assert np.isfinite(r1.errors).all()
+    assert len(r1.errors) == len(r0.errors)
+    # identical up to the last recorded window end; tail must not regress
+    # beyond noise
+    assert r1.errors[-1] <= r0.errors[-1] * 1.5 + 0.1, (
+        r0.errors[-1], r1.errors[-1])

@@ -360,6 +360,28 @@ class StreamingConfig(NamedTuple):
     # floors to configure GT-free production streams.
     auto_calibrate: bool = False
     auto_calibrate_min_windows: int = 3
+    # λ-damping search width (SolverParams.batched_lambda): -1 = AUTO —
+    # batched K=9 on accelerators, sequential while_loop on CPU.  Measured
+    # on the v5e (utils/mfu.py, docs/BENCHMARKS.md): the sequential λ-trial
+    # chain is pure latency on a TPU and the batched search cuts full-
+    # iteration device time 1.3x at N=64/256 and 2.7x at N=1024; on CPU
+    # the 9x FLOPs are real sequential work and lose.  0 forces the
+    # reference-exact sequential loop; K>0 forces a width.
+    batched_lambda: int = -1
+    # shooting-based terminal refinement before the open-loop tail
+    # propagation (estimation/refine.py): re-fit a single 6-dof initial
+    # [pos, vel] through the full RK4 dynamics against ALL gated
+    # observations (attitudes held at the streaming optimum), then
+    # propagate the tail from the refined terminal state.  Measured on the
+    # 16-orbit region eval (CPU f64): median FINAL error 10.75 -> 5.67 km,
+    # with multi-pass orbits rescued outright (seed 12: 18.6 -> 0.57 km,
+    # seed 8: 1.31 -> 0.20) and single-pass orbits unchanged (their tail
+    # is the pixel-noise CRLB — noise_level=0 reaches 0.00 km final, so
+    # no estimator can improve them).  In-arc recorded errors are
+    # unchanged (time-to-threshold semantics); only the tail +
+    # final_states differ.  On the fast path the refinement runs as a
+    # device-side program with the accept-guard folded in (no host sync).
+    tail_refine: bool = True
 
 
 _marginal_info_jit = jax.jit(
@@ -621,6 +643,13 @@ def stream_orbit(det_rows: np.ndarray, orbit_pos_eci_km: np.ndarray,
         num_hops=max(solver.num_hops, max_hops),
         max_iters=solver.max_iters if solver.max_iters > 0
         else cfg.max_iters)
+    if solver.batched_lambda == 0 and cfg.batched_lambda != 0:
+        if cfg.batched_lambda > 0:
+            solver = solver._replace(batched_lambda=cfg.batched_lambda)
+        elif jax.devices()[0].platform != "cpu":
+            # AUTO: batched λ search on accelerators (sequential-latency
+            # win, measured on v5e); sequential loop on CPU
+            solver = solver._replace(batched_lambda=9)
 
     nees_infos: List[np.ndarray] = []
     nees_est: List[np.ndarray] = []
@@ -651,6 +680,16 @@ def stream_orbit(det_rows: np.ndarray, orbit_pos_eci_km: np.ndarray,
 
     def record_tail(t_init: int):
         # tail propagation (od_pipe.py:1045-1059)
+        nonlocal cur_states
+        if cfg.tail_refine:
+            from vinsat_tpu.estimation import refine
+
+            with timer.stage("refine"):
+                cur_states = refine.refine_terminal(
+                    cur_states, gaps[:t_init], gt.landmarks_xyz,
+                    graph.uv, graph.conf, graph.ii, intr_np, dtype,
+                    max_substep=solver.max_substep,
+                )
         span = int(knot_t[-1] - knot_t[t_init - 1])
         om = gt.omega_full[knot_t[t_init - 1]:knot_t[-1]]
         max_len = bucket(span, cfg.prop_bucket, cfg.prop_bucket)
@@ -893,6 +932,19 @@ def stream_orbit(det_rows: np.ndarray, orbit_pos_eci_km: np.ndarray,
             t_prev = t_final
             i_prev = i_final
             if seq_end and t_final < len(knot_t):
+                if cfg.tail_refine:
+                    # device-side shooting refinement, chained async (the
+                    # final window's padded prob already holds the whole
+                    # arc's gaps/observations)
+                    from vinsat_tpu.estimation import refine
+
+                    out_dev = refine.refine_states_device(
+                        out_states, prob.gaps, prob.landmarks_xyz,
+                        prob.landmarks_uv, prob.conf, prob.ii,
+                        prob.obs_valid, prob.intrinsics,
+                        num_hops=solver.num_hops,
+                        max_substep=solver.max_substep,
+                    )
                 record_tail_fast(t_final)
             continue
 

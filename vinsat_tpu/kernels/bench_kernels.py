@@ -171,6 +171,11 @@ def bench_tridiag(sizes=(256, 1024, 4096), k=9, R=32, repeats=3):
             "bcr_base16": lambda D, U, b: ba.block_tridiag_solve_bcr(
                 D, U, b, base=16),
         }
+        if jax.devices()[0].platform != "cpu":
+            from vinsat_tpu.kernels.tridiag_pallas import (
+                block_tridiag_solve_pallas)
+
+            variants["pallas_bcr"] = block_tridiag_solve_pallas
         for name, fn in variants.items():
             f = jax.jit(fn)
             x = np.asarray(f(D, U, b))
