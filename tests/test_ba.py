@@ -237,7 +237,7 @@ def test_tridiag_variant_dispatch(rng):
     b = jnp.asarray(rng.normal(size=(N, k)))
     ref = np.asarray(ba.jacobi_scaled_tridiag_solve(D, U, b,
                                                     variant="thomas"))
-    for v in ("auto", "chunked", "bcr1", "bcr16"):
+    for v in ("auto", "chunked", "chunked_bcr", "bcr1", "bcr16"):
         x = np.asarray(ba.jacobi_scaled_tridiag_solve(D, U, b, variant=v))
         np.testing.assert_allclose(x, ref, rtol=1e-9, atol=1e-11)
     with pytest.raises(ValueError, match="unknown tridiag variant"):

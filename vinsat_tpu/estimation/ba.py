@@ -88,9 +88,9 @@ class SolverParams(NamedTuple):
     conv_rtol: float = 0.01
     conv_patience: int = 10_000
     # Block-tridiagonal solve algorithm: "auto" picks by N (see
-    # jacobi_scaled_tridiag_solve); "thomas" / "chunked" / "bcr1" /
-    # "bcr16" force a variant (benchmark + regression escape hatch —
-    # all variants agree to f32 roundoff under Jacobi scaling).
+    # jacobi_scaled_tridiag_solve); "thomas" / "chunked" / "chunked_bcr" /
+    # "bcr1" / "bcr16" force a variant (benchmark + regression escape
+    # hatch — all variants agree to f32 roundoff under Jacobi scaling).
     tridiag_variant: str = "auto"
 
 
@@ -221,7 +221,8 @@ def jacobi_scaled_tridiag_solve(D, U, b, variant: str = "auto"):
     the system to O(1) condition per block: solve (SHS)(S⁻¹x) = Sb.
 
     variant: "auto" dispatches on N (see below); "thomas" / "chunked" /
-    "bcr1" / "bcr16" force an algorithm (SolverParams.tridiag_variant).
+    "chunked_bcr" / "bcr1" / "bcr16" force an algorithm
+    (SolverParams.tridiag_variant).
     """
     diag = jnp.diagonal(D, axis1=-2, axis2=-1)  # (N, k)
     s = 1.0 / jnp.sqrt(jnp.maximum(diag, 1e-30))
@@ -232,22 +233,33 @@ def jacobi_scaled_tridiag_solve(D, U, b, variant: str = "auto"):
     # log-depth cyclic reduction: the sequential scan is the measured
     # latency bottleneck at production N (docs/BENCHMARKS.md MFU table).
     # v5e D-chained measurements (bench_kernels tridiag, reproducible ±15%):
-    # bcr16 wins 64 <= N <= 512 (0.08/0.29/0.34/0.39 ms at 64/128/256/512
-    # vs chunked SPIKE's 0.8/1.1/1.7/1.8); at N >= 1024 the deep BCR graph
-    # hits an XLA composition pathology (36/142 ms at N=2048/4096 while
-    # every constituent batched op measures <0.25 ms) and the chunked SPIKE
-    # wins (3.7/4.3/8.3 ms at 1024/2048/4096).  The pathology reproduces
-    # under D-chained timing (no hoisting escape), so it is real, not a
-    # harness artifact.  Below 64 _auto_chunks degenerates to the plain
-    # Thomas scan: it measures no slower in the full-iteration context, and
-    # it keeps the single-chip solve algorithm-identical to the sharded
-    # SPIKE path at the sizes test_sharded_ba pins bit-for-bit.
+    # bcr16 wins 64 <= N <= 512 (0.08/0.29/0.33/0.39 ms at 64/128/256/512
+    # vs chunked SPIKE's 0.8/1.1/1.6/1.8).  Pure BCR beyond ~10 levels hits
+    # an XLA composition pathology (150 ms at N=4096 / 12 levels while
+    # every constituent batched op measures <0.25 ms; reproduces under
+    # D-chained timing, so it is not a hoisting artifact).  At N >= 1024
+    # the HYBRID — vmapped SPIKE chunks of m=32 + log-depth cyclic
+    # reduction of the reduced boundary system (_tridiag_general_bcr,
+    # <= ~8 levels, below the pathology threshold) — wins: 1.35/5.2 ms at
+    # N=1024/4096 vs the Thomas-reduced chunked SPIKE's 3.5/8.8 ms.
+    # Below 64 _auto_chunks degenerates to the plain Thomas scan: it
+    # measures no slower in the full-iteration context, and it keeps the
+    # single-chip solve algorithm-identical to the sharded SPIKE path at
+    # the sizes test_sharded_ba pins bit-for-bit.
     if variant == "auto":
-        variant = "bcr16" if 64 <= N < 1024 else "chunked"
+        if 64 <= N < 1024:
+            variant = "bcr16"
+        elif N >= 1024 and N % 32 == 0:
+            variant = "chunked_bcr"
+        else:
+            variant = "chunked"
     if variant == "thomas":
         xs = block_tridiag_solve(Ds, Us, bs)
     elif variant == "chunked":
         xs = block_tridiag_solve_chunked(Ds, Us, bs, _auto_chunks(N))
+    elif variant == "chunked_bcr":
+        xs = block_tridiag_solve_chunked(Ds, Us, bs, _bcr_chunks(N),
+                                         reduced="bcr")
     elif variant == "bcr1":
         xs = block_tridiag_solve_bcr(Ds, Us, bs, base=1)
     elif variant == "bcr16":
@@ -255,6 +267,17 @@ def jacobi_scaled_tridiag_solve(D, U, b, variant: str = "auto"):
     else:
         raise ValueError(f"unknown tridiag variant {variant!r}")
     return xs * s
+
+
+def _bcr_chunks(N: int) -> int:
+    """Chunk count for the BCR-reduced chunked SPIKE: the largest power-of-
+    two divisor of N keeping local chunks of m >= 32 rows — m=32 measured
+    fastest on the v5e at N=1024/4096 (1.35/5.2 ms; the reduced BCR's
+    <= ~8 levels stay below the deep-graph pathology threshold)."""
+    c = 1
+    while N % (2 * c) == 0 and N // (2 * c) >= 32:
+        c *= 2
+    return c
 
 
 def _auto_chunks(N: int) -> int:
@@ -306,7 +329,85 @@ def _tridiag_general(Dr, Ur, Lr, br):
     return xs
 
 
-def block_tridiag_solve_chunked(D, U, b, num_chunks: int):
+def _tridiag_general_bcr(Dr, Ur, Lr, br, base: int = 4):
+    """General (nonsymmetric) block cyclic reduction: log-depth solve of
+        L_t y_{t-1} + D_t y_t + U_t y_{t+1} = b_t
+    (Lr[0] and Ur[-1] ignored).  The chunked-SPIKE reduced system is itself
+    block-tridiagonal over the C chunks, and the C-step `_tridiag_general`
+    Thomas recursion is the SEQUENTIAL-DEPTH floor of the whole chunked
+    solve at large N — this cuts it to 2 log2(C/base) + base levels of
+    fully batched ops, enabling many more (smaller) chunks.
+
+    Elimination of the odd rows (o = 2t+1):
+        y_o = D_o^{-1} (b_o - L_o y_e(t) - U_o y_e(t+1))
+        D'_t = D_e - U_e D_{o(t)}^{-1} L_{o(t)} - L_e D_{o(t-1)}^{-1} U_{o(t-1)}
+        U'_t = -U_e D_{o(t)}^{-1} U_{o(t)}
+        L'_t = -L_e D_{o(t-1)}^{-1} L_{o(t-1)}
+    C is padded to a power of two with identity diagonals.
+    """
+    C, k, _ = Dr.shape
+    n = 1 << (max(C, 2) - 1).bit_length()
+    eye = jnp.eye(k, dtype=Dr.dtype)
+    Dp = jnp.broadcast_to(eye, (n, k, k)).at[:C].set(Dr)
+    Up = jnp.zeros((n, k, k), Dr.dtype).at[: C - 1].set(Ur[: C - 1])
+    Lp = jnp.zeros((n, k, k), Dr.dtype).at[1:C].set(Lr[1:C])
+    bp = jnp.zeros((n, k), Dr.dtype).at[:C].set(br)
+
+    stack = []
+    while n > max(base, 1):
+        D2 = Dp.reshape(n // 2, 2, k, k)
+        U2 = Up.reshape(n // 2, 2, k, k)
+        L2 = Lp.reshape(n // 2, 2, k, k)
+        b2 = bp.reshape(n // 2, 2, k)
+        D_e, D_o = D2[:, 0], D2[:, 1]
+        U_e, U_o = U2[:, 0], U2[:, 1]  # U_e: even->odd(same t); U_o: odd->even(t+1)
+        L_e, L_o = L2[:, 0], L2[:, 1]  # L_o: odd->even(same t); L_e: even->odd(t-1)
+        b_e, b_o = b2[:, 0], b2[:, 1]
+
+        # one batched solve of D_o against [L_o | U_o | b_o]
+        rhs = jnp.concatenate([L_o, U_o, b_o[..., None]], axis=-1)
+        sol = gj_solve_small(D_o, rhs, pivot=True)
+        Dinv_L = sol[..., :k]
+        Dinv_U = sol[..., k:2 * k]
+        Dinv_b = sol[..., 2 * k]
+        stack.append((Dinv_L, Dinv_U, Dinv_b))
+
+        # same-t odd contributions (through U_e)
+        D_new = D_e - jnp.einsum("tij,tjk->tik", U_e, Dinv_L)
+        U_new = -jnp.einsum("tij,tjk->tik", U_e, Dinv_U)
+        b_new = b_e - jnp.einsum("tij,tj->ti", U_e, Dinv_b)
+        # previous-t odd contributions: even row 2t couples DOWN to odd
+        # 2t-1 through L_e[t], which pairs with the t-1 odd's factors
+        zkk = jnp.zeros((1, k, k), Dr.dtype)
+        zk = jnp.zeros((1, k), Dr.dtype)
+        Dinv_L_prev = jnp.concatenate([zkk, Dinv_L[:-1]], axis=0)
+        Dinv_U_prev = jnp.concatenate([zkk, Dinv_U[:-1]], axis=0)
+        Dinv_b_prev = jnp.concatenate([zk, Dinv_b[:-1]], axis=0)
+        D_new = D_new - jnp.einsum("tij,tjk->tik", L_e, Dinv_U_prev)
+        L_new = -jnp.einsum("tij,tjk->tik", L_e, Dinv_L_prev)
+        b_new = b_new - jnp.einsum("tij,tj->ti", L_e, Dinv_b_prev)
+
+        Dp, Up, Lp, bp = D_new, U_new, L_new, b_new
+        n //= 2
+
+    if n == 1:
+        y = gj_solve_small(Dp[0], bp[0][:, None], pivot=True)[:, 0][None]
+    else:
+        y = _tridiag_general(Dp, Up[:-1], Lp, bp)
+
+    for Dinv_L, Dinv_U, Dinv_b in reversed(stack):
+        y_e = y
+        y_e_next = jnp.concatenate(
+            [y_e[1:], jnp.zeros((1, k), Dr.dtype)], axis=0)
+        y_o = (Dinv_b
+               - jnp.einsum("tij,tj->ti", Dinv_L, y_e)
+               - jnp.einsum("tij,tj->ti", Dinv_U, y_e_next))
+        y = jnp.stack([y_e, y_o], axis=1).reshape(2 * y_e.shape[0], k)
+    return y[:C]
+
+
+def block_tridiag_solve_chunked(D, U, b, num_chunks: int,
+                                reduced: str = "thomas"):
     """Single-chip PARALLEL block-tridiagonal solve: SPIKE over vmapped
     chunks.
 
@@ -362,7 +463,15 @@ def block_tridiag_solve_chunked(D, U, b, num_chunks: int):
     Ur = Ur.at[:, 0:k, 0:k].set(W[:, 0])
     Ur = Ur.at[:, k:, 0:k].set(W[:, -1])
     br = jnp.concatenate([g[:, 0], g[:, -1]], axis=1)  # (C, 2k)
-    y2 = _tridiag_general(Dr, Ur[:-1], Lr, br)  # (C, 2k)
+    if reduced == "bcr":
+        # log-depth reduced solve: at large C the C-step Thomas recursion
+        # IS the sequential floor of the whole chunked solve; cyclic
+        # reduction cuts it to 2 log2(C) batched levels, enabling many
+        # more (smaller) chunks (measured v5e crossovers in
+        # docs/BENCHMARKS.md)
+        y2 = _tridiag_general_bcr(Dr, Ur, Lr, br)
+    else:
+        y2 = _tridiag_general(Dr, Ur[:-1], Lr, br)  # (C, 2k)
 
     x_left = jnp.concatenate(
         [jnp.zeros((1, k), D.dtype), y2[:-1, k:]], axis=0

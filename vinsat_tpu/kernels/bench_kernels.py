@@ -20,6 +20,7 @@ Run: python -m vinsat_tpu.kernels.bench_kernels
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
@@ -171,7 +172,15 @@ def bench_tridiag(sizes=(256, 1024, 4096), k=9, R=32, repeats=3):
             "bcr_base16": lambda D, U, b: ba.block_tridiag_solve_bcr(
                 D, U, b, base=16),
         }
-        if jax.devices()[0].platform != "cpu":
+        for m in (8, 16, 32):
+            if N % m == 0 and N // m >= 4:
+                variants[f"chunked_bcrred_m{m}"] = (
+                    lambda D, U, b, m=m: ba.block_tridiag_solve_chunked(
+                        D, U, b, D.shape[0] // m, reduced="bcr"))
+        if os.environ.get("VINSAT_BENCH_PALLAS_TRIDIAG") == "1":
+            # experimental: Mosaic tiles each (t, 9, 9) block to a full
+            # (16, 128) vector tile (25x VMEM inflation) — OOMs above
+            # N~128; kept for re-evaluation on future toolchains
             from vinsat_tpu.kernels.tridiag_pallas import (
                 block_tridiag_solve_pallas)
 

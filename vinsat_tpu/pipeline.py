@@ -127,8 +127,10 @@ def simulate_sequence(seed: int, duration_s: int = 10800,
     """
     if not device_sim:
         try:
-            cpu0 = jax.devices("cpu")[0]
-        except RuntimeError:
+            # LOCAL device: under jax.distributed, devices("cpu")[0] is
+            # global device 0, non-addressable from other processes
+            cpu0 = jax.local_devices(backend="cpu")[0]
+        except (RuntimeError, IndexError):
             cpu0 = None  # no CPU backend registered: ambient config
         if cpu0 is not None:
             x64_was = jax.config.jax_enable_x64
