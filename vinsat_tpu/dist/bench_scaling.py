@@ -81,24 +81,36 @@ def main(argv=None):
     print(json.dumps({"devices": n_dev,
                       "platform": jax.devices()[0].platform}))
 
-    def timed_step(P, N):
+    def make_step(P, N):
         mesh = mesh_mod.make_mesh(n_orbit=1, n_arc=P)
         prob = build_problem(N, args.obs, dtype)
         step = sharded_ba.make_sharded_ba_step(mesh, params)
         lam = jnp.full((1,), 1e-4, dtype)
         jax.block_until_ready(step(jnp.asarray(0), lam, prob))
-        ts = []
+        return lambda: jax.block_until_ready(step(jnp.asarray(0), lam, prob))
+
+    def timed_pair(P, N):
+        """Alternate sharded/single timings and take the MIN of repeats:
+        virtual CPU devices share cores with everything else on the host,
+        so medians absorb contention spikes asymmetrically — interleaved
+        minima are the contention-robust estimate of the true step times
+        (measured: medians wander 1.0-3.2x run to run on a loaded host)."""
+        f_sh = make_step(P, N)
+        f_1 = make_step(1, N)
+        ts, t1 = [], []
         for _ in range(args.repeats):
             t0 = time.perf_counter()
-            jax.block_until_ready(step(jnp.asarray(0), lam, prob))
+            f_sh()
             ts.append(time.perf_counter() - t0)
-        return float(np.median(ts))
+            t0 = time.perf_counter()
+            f_1()
+            t1.append(time.perf_counter() - t0)
+        return float(np.min(ts)), float(np.min(t1))
 
     P = 2
     while P <= n_dev:
         N = args.base_knots * P
-        t_sharded = timed_step(P, N)
-        t_single = timed_step(1, N)
+        t_sharded, t_single = timed_pair(P, N)
         overhead = t_sharded / t_single
         print(json.dumps({
             "arc_shards": P, "total_knots": N,

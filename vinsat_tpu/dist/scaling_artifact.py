@@ -28,7 +28,7 @@ import sys
 import time
 
 
-def _run_overhead(repeats: int = 10):
+def _run_overhead(repeats: int = 10, base_knots: int = 64):
     """dist/bench_scaling.py in a subprocess (needs its own XLA_FLAGS)."""
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
@@ -39,12 +39,12 @@ def _run_overhead(repeats: int = 10):
         if p and "axon_site" not in p) or os.getcwd()
     out = subprocess.run(
         [sys.executable, "-m", "vinsat_tpu.dist.bench_scaling",
-         "--repeats", str(repeats)],
+         "--repeats", str(repeats), "--base-knots", str(base_knots)],
         env=env, capture_output=True, text=True, timeout=1800)
     rows = []
     for line in out.stdout.splitlines():
         try:
-            rows.append(json.loads(line))
+            rows.append(json.loads(line) | {"base_knots": base_knots})
         except ValueError:
             pass
     return rows, out.returncode
@@ -76,9 +76,18 @@ def main(argv=None):
     except Exception:
         pass
 
-    rows, rc = _run_overhead(args.repeats)
+    rows = []
+    for bk in (64, 256):
+        r, rc = _run_overhead(args.repeats, base_knots=bk)
+        rows.extend(r)
+        print(json.dumps({"overhead_rows": r, "rc": rc}), flush=True)
     artifact["virtual_mesh_overhead"] = rows
-    print(json.dumps({"overhead_rows": rows, "rc": rc}), flush=True)
+    artifact["overhead_note"] = (
+        "this host has 4 cores for 8 virtual devices: small (64-knot) "
+        "shards are dominated by per-device fixed overhead under 2x core "
+        "oversubscription; the 256-knot rows are the meaningful collective-"
+        "overhead measurement (ratio < 1 = the SPIKE sequential-depth cut "
+        "outweighs halo/psum cost)")
 
     runs = []
     for P, ld in ((2, 2), (4, 2), (8, 1)):

@@ -396,26 +396,25 @@ def _f64_prep_context():
     are accuracy-relevant: f32 conditioning costs km-level final error on
     multi-window arcs (measured: 0.39 km -> 6.5 km on the 10800 s gapped
     bench sequence).  On an f32-only default backend (TPU) with a CPU
-    backend also registered (JAX_PLATFORMS=tpu,cpu), prep temporarily
-    enables x64 and pins the CPU device; with no CPU backend it falls back
-    to the solver dtype.  Yields the prep dtype (None = solver dtype).
+    backend also registered (JAX_PLATFORMS=tpu,cpu), prep enables x64 via
+    the THREAD-LOCAL `jax.enable_x64` context (re-entrant —
+    concurrent streams in other threads are unaffected, unlike a global
+    jax.config.update toggle) and pins a process-LOCAL CPU device; with no
+    CPU backend it falls back to the solver dtype.  Yields the prep dtype
+    (None = solver dtype).
     """
     if jax.config.jax_enable_x64:
         yield jnp.dtype(jnp.float64)
         return
     try:
-        cpu0 = jax.devices("cpu")[0]
+        cpu0 = jax.local_devices(backend="cpu")[0]
     except Exception:
         cpu0 = None
     if cpu0 is None:
         yield None
         return
-    jax.config.update("jax_enable_x64", True)
-    try:
-        with jax.default_device(cpu0):
-            yield jnp.dtype(jnp.float64)
-    finally:
-        jax.config.update("jax_enable_x64", False)
+    with jax.enable_x64(True), jax.default_device(cpu0):
+        yield jnp.dtype(jnp.float64)
 
 
 def _pad_prob(n: int, gaps, cum_rot, lm_xyz, lm_uv, conf, ii,

@@ -133,18 +133,15 @@ def simulate_sequence(seed: int, duration_s: int = 10800,
         except (RuntimeError, IndexError):
             cpu0 = None  # no CPU backend registered: ambient config
         if cpu0 is not None:
-            x64_was = jax.config.jax_enable_x64
-            try:
-                jax.config.update("jax_enable_x64", True)
-                with jax.default_device(cpu0):
-                    return simulate_sequence(
-                        seed, duration_s, db=db, noise_px=noise_px,
-                        frame_stride=frame_stride, max_dets=max_dets,
-                        along_track=along_track, pass_every_s=pass_every_s,
-                        pass_len_s=pass_len_s, hifi_truth=hifi_truth,
-                        device_sim=True)
-            finally:
-                jax.config.update("jax_enable_x64", x64_was)
+            # thread-local x64 context (re-entrant; a global
+            # jax.config.update toggle would race concurrent streams)
+            with jax.enable_x64(True), jax.default_device(cpu0):
+                return simulate_sequence(
+                    seed, duration_s, db=db, noise_px=noise_px,
+                    frame_stride=frame_stride, max_dets=max_dets,
+                    along_track=along_track, pass_every_s=pass_every_s,
+                    pass_len_s=pass_len_s, hifi_truth=hifi_truth,
+                    device_sim=True)
     key = jax.random.PRNGKey(seed)
     k_traj, k_db, k_det = jax.random.split(key, 3)
     traj = orbits.generate_trajectory(k_traj, duration_s=duration_s,
@@ -197,7 +194,20 @@ def simulate_sequence_imagery(seed: int, duration_s: int = 600,
 
     key = jax.random.PRNGKey(seed)
     k_traj, k_lm, k_tmpl, k_img = jax.random.split(key, 4)
-    traj = orbits.generate_trajectory(k_traj, duration_s=duration_s)
+    # GROUND TRUTH IN f64 ON CPU (same invariant as simulate_sequence: an
+    # f32 RK4 trajectory is dynamically inconsistent at km level and NaNs
+    # the estimator); only the imagery rendering/NCC below run at the
+    # ambient (accelerator) precision
+    try:
+        cpu0 = jax.local_devices(backend="cpu")[0]
+    except (RuntimeError, IndexError):
+        cpu0 = None
+    if cpu0 is not None and not jax.config.jax_enable_x64:
+        with jax.enable_x64(True), jax.default_device(cpu0):
+            traj = orbits.generate_trajectory(k_traj, duration_s=duration_s)
+            traj = jax.tree_util.tree_map(np.asarray, traj)
+    else:
+        traj = orbits.generate_trajectory(k_traj, duration_s=duration_s)
     db = track_landmark_db(traj, k_lm, every_s=max(duration_s //
                                                   max(num_landmarks // 3, 1), 1),
                            per_point=3, spread_deg=0.8)
