@@ -16,8 +16,11 @@ def test_long_arc_sharded_convergence():
     assert n_real > 16
     res = long_arc.solve_long_arc(mesh, prob, gt_states, knot_t, n_real,
                                   num_iters=12)
-    # knots inside the detection span converge well under the 5 km target;
-    # use the median (edge knots with few obs are weaker)
+    # measured: median 1.37 km / max 2.44 km — the same regime the single-
+    # chip path reaches on this sequence (1.83 km median at the identical
+    # 12-iteration budget), so pin at ~1.5x the measured values instead of
+    # the old 5 km slack that would hide real regressions (VERDICT r2 #4)
     med = float(np.median(res.errors_km))
-    assert med < 5.0, f"median long-arc error {med} km"
+    assert med < 2.0, f"median long-arc error {med} km"
+    assert float(res.errors_km.max()) < 4.0, res.errors_km.max()
     assert np.isfinite(res.states).all()
