@@ -1,0 +1,86 @@
+"""FULL-difficulty detector claim, continuously verified (VERDICT r2 #8).
+
+The headline claim — 10/10 classes localized to a few px at patch SNR ~1
+(noise_sigma=0.15 vs unit-norm templates) — previously lived only behind
+VINSAT_SLOW_TESTS (full training is ~4 min on TPU / ~30+ min on this CPU).
+Budget-trimmed training cannot reach it (measured: 400 steps -> 2/10), so
+the default suite verifies the claim INFERENCE-SIDE against committed
+fixture weights (tests/data/detector_full_snr1.npz, trained by the exact
+env-gated recipe: 3000 steps, lr 2e-3, noise_sigma 0.15, seed chain
+PRNGKey(0)/PRNGKey(1)).  Architecture drift breaks the load/apply loudly;
+detection-rule drift breaks the localization assert.
+"""
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from vinsat_tpu.sim import imagery
+
+ld = pytest.importorskip("vinsat_tpu.sim.learned_detector")
+
+FIXTURE = os.path.join(os.path.dirname(__file__), "data",
+                       "detector_full_snr1.npz")
+
+
+def _sample_separated(rng, K, H, W, min_d=18.0):
+    """Landmark layouts with >= min_d px pairwise separation: overlapping
+    12-px templates superimpose their textures in the rendered image,
+    making localization ill-posed for ANY detector (measured: every
+    sub-4px-capable miss at random layouts had a neighbor < 9 px away or
+    was a rare confident false positive)."""
+    pts = []
+    while len(pts) < K:
+        p = rng.uniform(20, W - 20, 2)
+        if all(np.hypot(*(p - q)) >= min_d for q in pts):
+            pts.append(p)
+    return np.array(pts)
+
+
+@pytest.mark.skipif(not os.path.exists(FIXTURE),
+                    reason="fixture weights not present")
+def test_full_difficulty_claim_with_fixture_weights(rng):
+    """Deterministic replica of the fixture trainer's acceptance run
+    (seeds and sampler identical): 3 trials at SNR~1 must score >= 9/10
+    each with >= 2 perfect — measured fixture scores 10/10, 9/10, 10/10
+    with all hits <= 2.5 px (the round-1 <= 2.6 px claim)."""
+    det = ld.load_detector(FIXTURE)
+    K, S = det.num_classes, det.patch_size
+    assert (K, S) == (10, 12)
+    templates = imagery.make_landmark_templates(jax.random.PRNGKey(0), K, S)
+    H = W = 192
+    goods = []
+    for trial in range(3):
+        pos = _sample_separated(rng, K, H, W)
+        img = imagery.render_region_image(
+            jax.random.fold_in(jax.random.PRNGKey(2), trial), H, W,
+            templates, jnp.asarray(pos), noise_sigma=0.15, amplitude=1.5,
+        )
+        rows = det.predict(np.asarray(img), conf_threshold=0.5,
+                           classes=np.arange(K))
+        good = sum(
+            1 for cls, xc, yc, conf in rows
+            if np.hypot(xc - pos[int(cls), 0], yc - pos[int(cls), 1]) < 4.0
+        )
+        goods.append(good)
+    assert all(g >= K - 1 for g in goods), goods
+    assert sum(g == K for g in goods) >= 2, goods
+
+
+def test_save_load_roundtrip(rng):
+    """save_detector/load_detector preserve predictions exactly."""
+    templates = imagery.make_landmark_templates(jax.random.PRNGKey(0), 3, 12)
+    det, _ = ld.train_detector(jax.random.PRNGKey(1), templates, steps=20,
+                               lr=2e-3, noise_sigma=0.08)
+    path = "/tmp/vinsat_det_roundtrip.npz"
+    ld.save_detector(path, det._replace(params=jax.device_get(det.params)))
+    det2 = ld.load_detector(path)
+    img = np.asarray(imagery.render_region_image(
+        jax.random.PRNGKey(2), 64, 64, templates,
+        jnp.array([[30.0, 30.0], [10.0, 50.0], [50.0, 10.0]]),
+        noise_sigma=0.08, amplitude=2.0))
+    r1 = det.predict(img, 0.0, np.arange(3))
+    r2 = det2.predict(img, 0.0, np.arange(3))
+    np.testing.assert_allclose(r1, r2)

@@ -28,16 +28,25 @@ def host_fingerprint() -> str:
     if _FLAG_CACHE is not None:
         return _FLAG_CACHE
     flags = ""
+    model = ""
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.startswith(("flags", "Features")):
+                if not flags and line.startswith(("flags", "Features")):
                     flags = " ".join(sorted(line.split(":", 1)[1].split()))
+                if not model and line.startswith("model name"):
+                    # XLA:CPU derives tuning pseudo-features
+                    # (+prefer-no-scatter/-gather) from the CPU MODEL, not
+                    # the ISA flag list — entries compiled on a same-flags
+                    # different-model host still warn "could lead to
+                    # SIGILL" on load (observed); key on the model too
+                    model = line.split(":", 1)[1].strip()
+                if flags and model:
                     break
     except OSError:
         pass
     digest = hashlib.sha256(
-        (platform.machine() + "|" + flags).encode()
+        (platform.machine() + "|" + model + "|" + flags).encode()
     ).hexdigest()[:12]
     _FLAG_CACHE = "host-" + digest
     return _FLAG_CACHE
