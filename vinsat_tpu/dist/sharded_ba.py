@@ -322,23 +322,44 @@ def _one_orbit_iteration(sched_iter, lamda, states_l, gaps_l, cum_l, lm_l,
         x = _shard_body(nshards, axis, Ds, Us, JTr * s)
         return retract(x * s)
 
-    def cond(carry):
-        lam, done, _, _, _ = carry
-        return jnp.logical_and(jnp.logical_not(done),
-                               lam <= params.lambda_max)
+    # BATCHED λ search, always (vs the single-chip path where it is a
+    # measured accelerator-only win): a data-dependent while_loop here is
+    # an SPMD DEADLOCK hazard — on an (orbit x arc) mesh every device runs
+    # the same program, so orbit groups whose λ loops take different trip
+    # counts leave the arc-axis collectives of later iterations with only
+    # half the participants (observed: collective-permute rendezvous
+    # timeout, 4/8 threads).  K static candidates make the collective
+    # count uniform by construction AND cut the sequential trial chain to
+    # depth 1.  Candidate values come from a cumulative-multiply scan, so
+    # they equal the while_loop's repeated products bit for bit; the
+    # acceptance rule (first trial always valid, else first accepted, else
+    # last <= λ_max) matches ba._lambda_search.
+    import numpy as _np
 
-    def body(carry):
-        lam, _, _, _, _ = carry
+    K = max(int(_np.ceil(_np.log(params.lambda_max / 1e-4)
+                         / _np.log(params.lambda_growth))) + 1, 2)
+
+    def mul(c, _):
+        c2 = c * params.lambda_growth
+        return c2, c2
+
+    lam0 = jnp.asarray(lamda, dtype)
+    _, rest = jax.lax.scan(mul, lam0, None, length=K - 1)
+    lamdas = jnp.concatenate([lam0[None], rest])  # (K,)
+
+    def one(lam):
         st_new = solve_with(lam)
-        trial = trial_residual(st_new)
-        return (lam * params.lambda_growth, trial < init_residual, st_new,
-                lam, trial)
+        return st_new, trial_residual(st_new)
 
-    first = body((jnp.asarray(lamda, dtype), jnp.asarray(False), states_l,
-                  jnp.asarray(lamda, dtype), jnp.asarray(jnp.inf, dtype)))
-    lam_f, _, states_new, _, trial_res = jax.lax.while_loop(cond, body, first)
+    states_c, trials = jax.vmap(one)(lamdas)
+    valid = (jnp.arange(K) == 0) | (lamdas <= params.lambda_max)
+    accepted = valid & (trials < init_residual)
+    first_acc = jnp.argmax(accepted)
+    last_valid = K - 1 - jnp.argmax(valid[::-1])
+    j = jnp.where(accepted.any(), first_acc, last_valid)
+    lam_f = lamdas[j] * params.lambda_growth
     lam_next = jnp.maximum(jnp.minimum(1e-1, lam_f * 0.01), 1e-4)
-    return states_new, lam_next, trial_res
+    return states_c[j], lam_next, trials[j]
 
 
 def make_sharded_ba_step(mesh: Mesh, params: SolverParams = SolverParams(),
