@@ -63,16 +63,13 @@ def main():
         jax.config.update("jax_enable_x64", True)
     # f32 solver numerics require true-f32 matmuls (TPU defaults to bf16)
     jax.config.update("jax_default_matmul_precision", "highest")
-    # persistent compile cache (remote TPU compiles cost ~30-60 s each),
-    # host-keyed: foreign-host XLA:CPU AOT entries segfault (utils/cache.py)
-    from vinsat_tpu.utils.cache import (cache_dir as _host_cache_dir,
-                                        install_multidevice_cpu_cache_guard)
+    # persistent compile cache (remote TPU compiles cost ~30-60 s each;
+    # un-jitted one-op programs ~0.4 s tunnel wall APIECE), host-keyed +
+    # remote-aware thresholds (utils/cache.configure_persistent_cache)
+    from vinsat_tpu.utils.cache import configure_persistent_cache
 
-    cache = _host_cache_dir(os.path.join(
+    configure_persistent_cache(os.path.join(
         os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
-    jax.config.update("jax_compilation_cache_dir", cache)
-    install_multidevice_cpu_cache_guard()
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     dtype = "float64" if not on_tpu else "float32"
     log(f"device: {jax.devices()[0]}, dtype: {dtype}")
 

@@ -264,14 +264,10 @@ def main():
     if jax.devices()[0].platform == "cpu":
         jax.config.update("jax_enable_x64", True)
     jax.config.update("jax_default_matmul_precision", "highest")
-    from vinsat_tpu.utils.cache import (cache_dir as _host_cache_dir,
-                                        install_multidevice_cpu_cache_guard)
+    from vinsat_tpu.utils.cache import configure_persistent_cache
 
-    cache = _host_cache_dir(os.path.join(os.path.dirname(os.path.dirname(
+    configure_persistent_cache(os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), ".jax_cache"))
-    jax.config.update("jax_compilation_cache_dir", cache)
-    install_multidevice_cpu_cache_guard()
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     keys = list(RUNNERS) if args.which == "all" else [args.which]
     for k in keys:
         try:

@@ -255,15 +255,11 @@ def _configure_jax():
     if backend == "cpu":
         jax.config.update("jax_enable_x64", True)
     jax.config.update("jax_default_matmul_precision", "highest")
-    from vinsat_tpu.utils.cache import (cache_dir as _host_cache_dir,
-                                        install_multidevice_cpu_cache_guard)
+    from vinsat_tpu.utils.cache import configure_persistent_cache
 
-    cache = _host_cache_dir(os.environ.get(
+    configure_persistent_cache(os.environ.get(
         "VINSAT_JAX_CACHE", os.path.expanduser("~/.cache/vinsat_jax")
     ))
-    jax.config.update("jax_compilation_cache_dir", cache)
-    install_multidevice_cpu_cache_guard()
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     if os.environ.get("VINSAT_DEBUG_NANS") == "1":
         jax.config.update("jax_debug_nans", True)
 

@@ -223,11 +223,9 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     jax.config.update("jax_default_matmul_precision", "highest")
-    from vinsat_tpu.utils.cache import cache_dir as _host_cache_dir
+    from vinsat_tpu.utils.cache import configure_persistent_cache
 
-    jax.config.update("jax_compilation_cache_dir",
-                      _host_cache_dir("/root/repo/.jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    configure_persistent_cache("/root/repo/.jax_cache")
     print(json.dumps({"device": str(jax.devices()[0])}))
     if "visible_count" in args.benches:
         bench_visible_count()

@@ -59,6 +59,33 @@ def cache_dir(base: str) -> str:
     return d
 
 
+def configure_persistent_cache(base: str) -> str:
+    """Set up the persistent compilation cache for this process: host-keyed
+    directory, multi-device-CPU guard, and REMOTE-AWARE write thresholds.
+
+    On a remote-compile backend (axon tunnel) every un-jitted host-side
+    jnp op compiles a one-op executable through the compile service —
+    measured: ~800 tiny programs x ~0.4 s tunnel wall = ~6 min of EVERY
+    bench run, each reporting < 0.5 s of local compile time and therefore
+    never persisted under jax's default threshold.  Persist everything
+    (threshold 0) when the default backend is not plain CPU; keep the
+    0.5 s threshold on CPU where recompiles are cheap and entry churn
+    isn't."""
+    import jax
+
+    d = cache_dir(base)
+    jax.config.update("jax_compilation_cache_dir", d)
+    install_multidevice_cpu_cache_guard()
+    try:
+        on_cpu = jax.devices()[0].platform == "cpu"
+    except Exception:
+        on_cpu = True
+    jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                      0.5 if on_cpu else 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    return d
+
+
 _GUARD_INSTALLED = False
 
 
