@@ -263,3 +263,22 @@ def test_fast_async_path_matches_sync(short_seq):
     assert np.array_equal(r_fast.times, r_sync.times)
     np.testing.assert_allclose(r_fast.errors, r_sync.errors,
                                rtol=1e-12, atol=1e-12)
+
+
+def test_later_window_budget_fast_matches_sync(short_seq):
+    """max_iters_later (reduced budget for well-conditioned multi-pass
+    windows) must keep the async fast path bit-identical to sync, and the
+    stream must stay in the accuracy class of the full budget."""
+    from vinsat_tpu.estimation.window import StreamingConfig, stream_orbit
+
+    rows = _gapped_rows(short_seq)
+    cfg = StreamingConfig(max_iters=40, max_iters_later=24)
+    r_fast = stream_orbit(rows, short_seq.orbit_pos_eci_km, seed=3, cfg=cfg)
+    r_sync = stream_orbit(rows, short_seq.orbit_pos_eci_km, seed=3, cfg=cfg,
+                          fast=False)
+    assert np.array_equal(r_fast.final_states, r_sync.final_states)
+    np.testing.assert_allclose(r_fast.errors, r_sync.errors,
+                               rtol=1e-12, atol=1e-12)
+    r_full = stream_orbit(rows, short_seq.orbit_pos_eci_km, seed=3,
+                          cfg=StreamingConfig(max_iters=40))
+    assert r_fast.errors[-1] < max(2.0 * r_full.errors[-1], 1.0)

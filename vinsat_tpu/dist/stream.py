@@ -136,6 +136,14 @@ def stream_orbit_sharded(det_rows: np.ndarray, orbit_pos_eci_km: np.ndarray,
         num_hops=max(solver.num_hops, max_hops),
         max_iters=solver.max_iters if solver.max_iters > 0
         else cfg.max_iters)
+    # reduced budget for growing-prefix later windows (window.py: measured
+    # identical accuracy at >= 24 iterations once a window holds >= 2
+    # passes); bounded later windows keep the full budget
+    solver_later = solver
+    if cfg.max_iters_later > 0 and solver.max_iters > 0 and not cfg.marginalize:
+        solver_later = solver._replace(
+            max_iters=min(solver.max_iters, max(cfg.max_iters_later,
+                                                cfg.num_iters + 1)))
 
     errors = []
     times = []
@@ -150,11 +158,12 @@ def stream_orbit_sharded(det_rows: np.ndarray, orbit_pos_eci_km: np.ndarray,
     # shapes, but keeping one solver per mode avoids re-tracing the mesh
     solvers: Dict[Tuple, object] = {}
 
-    def get_solver(init_iters: int, with_prior: bool):
-        key = (init_iters, with_prior)
+    def get_solver(init_iters: int, with_prior: bool, later: bool):
+        key = (init_iters, with_prior, later)
         if key not in solvers:
             solvers[key] = sharded_ba.make_sharded_window_solver(
-                mesh, solver, num_iters=cfg.num_iters, init_iters=init_iters,
+                mesh, solver_later if later else solver,
+                num_iters=cfg.num_iters, init_iters=init_iters,
                 with_prior=with_prior)
         return solvers[key]
 
@@ -274,7 +283,8 @@ def stream_orbit_sharded(det_rows: np.ndarray, orbit_pos_eci_km: np.ndarray,
                 valid=jnp.asarray(val, jd)[None],
             )
 
-        solve = get_solver(init_iters, use_prior)
+        solve = get_solver(init_iters, use_prior,
+                           later=(w > 0 and not bounded))
         lam0 = jnp.full((1,), cfg.lambda_init, jd)
         if use_prior:
             out_b, _, _ = solve(lam0, prob, prior)

@@ -331,6 +331,18 @@ class StreamingConfig(NamedTuple):
     # early stopping returned a 30.4 km iterate).  Cost: ~3x window
     # device time; set 0 for the reference-exact budget.
     max_iters: int = 60
+    # iteration budget for GROWING-PREFIX windows after the first (0 =
+    # same as max_iters).  The run-to-60 budget exists for weakly-
+    # observable SINGLE-pass problems (seed-11 class); growing-prefix
+    # window w contains w+1 detection passes, and with >= 2 passes the
+    # chain's best iterate lands before ~24 iterations — measured on five
+    # 10800 s 7-window arcs (CPU f64): final/min/time-to-5km IDENTICAL to
+    # 3 decimals at 24, 30, and 60, at ~2x less solve time.  Default 30
+    # keeps a 25% margin over the measured need.  Does NOT apply to
+    # bounded/marginalized modes (their later windows are anchor + ONE
+    # pass — exactly the weakly-observable class) or to single-window
+    # streams (window 0 always runs the full budget).
+    max_iters_later: int = 30
     lambda_init: float = 1e-4
     noise_pos_km: float = 100.0
     noise_ori_rad: float = 0.2
@@ -671,6 +683,12 @@ def stream_orbit(det_rows: np.ndarray, orbit_pos_eci_km: np.ndarray,
             # AUTO: batched λ search on accelerators (sequential-latency
             # win, measured on v5e); sequential loop on CPU
             solver = solver._replace(batched_lambda=9)
+    # reduced budget for well-conditioned (multi-pass) later windows
+    solver_later = solver
+    if cfg.max_iters_later > 0 and solver.max_iters > 0:
+        solver_later = solver._replace(
+            max_iters=min(solver.max_iters, max(cfg.max_iters_later,
+                                                cfg.num_iters + 1)))
 
     nees_infos: List[np.ndarray] = []
     nees_est: List[np.ndarray] = []
@@ -807,6 +825,9 @@ def stream_orbit(det_rows: np.ndarray, orbit_pos_eci_km: np.ndarray,
                 record_tail(t_prev)
             continue
         sub_anchor: Optional[int] = None
+        # reduced budget ONLY for growing-prefix later windows (bounded
+        # windows are anchor + one pass = the weakly-observable class)
+        solver_w = solver if (w == 0 or bounded) else solver_later
         if w == 0:
             window_states = states[:t_final]
         elif fast:
@@ -946,7 +967,8 @@ def stream_orbit(det_rows: np.ndarray, orbit_pos_eci_km: np.ndarray,
                         jnp.asarray(om_pad, jd), jnp.asarray(span),
                         jnp.asarray(rel), jnp.asarray(absi),
                         jnp.asarray(t_prev), jnp.asarray(t_final), gt_dev,
-                        prob, lamda, cfg.num_iters, solver, max_len, n_pad,
+                        prob, lamda, cfg.num_iters, solver_later,
+                        max_len, n_pad,
                     ))
                 if count > 1:
                     errors.append((err_dev_w, count - 1))
@@ -1009,7 +1031,8 @@ def stream_orbit(det_rows: np.ndarray, orbit_pos_eci_km: np.ndarray,
             with timer.stage("solve"):
                 out_states, lam_new, last_h, mean_res = attempt(
                     lambda l0: solve_window_reg(st0, prob, prior, l0,
-                                                cfg.num_iters, solver), st0)
+                                                cfg.num_iters, solver_w),
+                    st0)
                 out_np = np.asarray(out_states)[:Nw]
             cur_states = np.concatenate([cur_states[:-1], out_np], axis=0)
             extra_diag0 = H9c
@@ -1044,14 +1067,14 @@ def stream_orbit(det_rows: np.ndarray, orbit_pos_eci_km: np.ndarray,
                 with timer.stage("solve"):
                     out_states, lam_new, last_h, mean_res = attempt(
                         lambda l0: solve_window_reg(st0, prob, prior, l0,
-                                                    cfg.num_iters, solver),
+                                                    cfg.num_iters, solver_w),
                         st0)
             else:
                 with timer.stage("solve"):
                     out_states, lam_new, last_h, mean_res = attempt(
                         lambda l0: solve_window(
                             st0, prob, l0, jnp.asarray(init_iters),
-                            cfg.num_iters, solver), st0)
+                            cfg.num_iters, solver_w), st0)
             cur_states = np.asarray(out_states)[:t_final]
 
         last_hessian = np.asarray(last_h)
