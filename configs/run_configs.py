@@ -6,8 +6,10 @@
   3 streaming  — noisy detections + downselect matching, streaming BA
   4 constellation — 8 orbits jit-vmapped, per-chip batch BA
   5 longarc    — long arc sharded across the device mesh, distributed BA
+  6 realdb     — streaming OD on the reference's REAL landmark CSVs
+                 (34 regions, 16,825 landmarks, best-class downselect)
 
-Usage: python configs/run_configs.py <1|2|3|4|5|all> [--duration S]
+Usage: python configs/run_configs.py <1|2|3|4|5|6|all> [--duration S]
 Prints one JSON result line per config.
 """
 import argparse
@@ -240,14 +242,54 @@ def run_longarc(duration):
             })
 
 
+def run_realdb(duration, csv_dir=None):
+    """Config 6: streaming OD against the reference's REAL landmark
+    database (sim/landmark_csvs, 34 regions / 16,825 landmarks) with the
+    detector-QA best-class downselect — detection passes happen only while
+    genuinely overflying the 16 detector-active MGRS regions, exactly the
+    reference's evaluation geometry (od_pipe.py:1063-1086)."""
+    from vinsat_tpu import pipeline
+    from vinsat_tpu.estimation.window import StreamingConfig
+    from vinsat_tpu.evalx import ate
+    from vinsat_tpu.sim import landmarks as lm_mod
+
+    csv_dir = csv_dir or "/root/reference/sim/landmark_csvs"
+    if not os.path.isdir(csv_dir):
+        _result("6-realdb", skipped=f"no landmark CSV dir at {csv_dir}")
+        return
+    db = lm_mod.load_reference_db(csv_dir)
+    duration = max(duration, 10800)  # region passes need the full 3 h arc
+    out = {}
+    for seed in (0, 1):
+        seq = pipeline.simulate_sequence(seed, duration_s=duration, db=db)
+        if len(seq.det_rows) == 0:
+            out[f"seed{seed}"] = {"n_dets": 0}
+            continue
+        t0 = time.time()
+        res = pipeline.run_streaming(seq, seed=seed, cfg=StreamingConfig())
+        out[f"seed{seed}"] = {
+            "n_dets": len(seq.det_rows),
+            "final_error_km": round(float(res.errors[-1]), 3),
+            "min_error_km": round(float(res.errors.min()), 3),
+            "time_to_5km_s": ate.time_to_threshold(res.errors, res.times,
+                                                   5.0),
+            "wall_s": round(time.time() - t0, 2),
+        }
+    _result("6-realdb", landmarks=db.num_landmarks,
+            best_fraction=round(float(np.asarray(db.best).mean()), 3), **out)
+
+
 RUNNERS = {"1": run_ekf, "2": run_fullbatch, "3": run_streaming,
-           "4": run_constellation, "5": run_longarc}
+           "4": run_constellation, "5": run_longarc, "6": run_realdb}
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("which", choices=list(RUNNERS) + ["all"])
     ap.add_argument("--duration", type=int, default=3600)
+    ap.add_argument("--landmark-csv-dir", default=None,
+                    help="landmark CSV directory for config 6 (default: the "
+                         "reference's sim/landmark_csvs)")
     args = ap.parse_args()
 
     import os
@@ -271,7 +313,10 @@ def main():
     keys = list(RUNNERS) if args.which == "all" else [args.which]
     for k in keys:
         try:
-            RUNNERS[k](args.duration)
+            if k == "6":
+                RUNNERS[k](args.duration, csv_dir=args.landmark_csv_dir)
+            else:
+                RUNNERS[k](args.duration)
         except Exception as e:  # keep going; report the failure
             _result(f"{k}-FAILED", error=str(e)[:200])
             if len(keys) == 1:

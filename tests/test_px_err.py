@@ -67,3 +67,21 @@ def test_summarize_detector(rng):
     s = px_err.summarize_detector(_fake_err(rng))
     assert s["num_accepted_classes"] == 12
     assert s["mean_accepted_err"] < 10.0
+
+
+def test_best_classes_grid_matches_loop(rng):
+    # the vectorized grid rule must match best_conf_maximize_classes on
+    # regular (class x sample) records
+    n, S = 40, 12
+    scales = np.exp(np.log(9.0) + 0.7 * rng.standard_normal(n))
+    err = np.hypot(rng.standard_normal((n, S)) * scales[:, None],
+                   rng.standard_normal((n, S)) * scales[:, None])
+    conf = 0.5 + 0.5 * rng.random((n, S))
+    recs = np.stack([np.repeat(np.arange(n), S), err.ravel(),
+                     conf.ravel()], axis=1)
+    ref_rows, ref_conf = px_err.best_conf_maximize_classes(recs)
+    keep, got_conf = px_err.best_classes_grid(err, conf)
+    assert got_conf == ref_conf
+    ref_set = (set() if ref_rows is None
+               else set(ref_rows[:, 0].astype(int)))
+    assert set(np.nonzero(keep)[0]) == ref_set

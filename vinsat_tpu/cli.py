@@ -25,6 +25,15 @@ def cmd_simulate(args):
     from vinsat_tpu.estimation.window import _f64_prep_context
 
     os.makedirs(args.out, exist_ok=True)
+    db = None
+    if args.landmark_csv_dir:
+        from vinsat_tpu.sim import landmarks as _lm
+
+        db = _lm.load_reference_db(args.landmark_csv_dir,
+                                   best_downselect=not args.no_best_classes)
+        print(f"landmark DB: {db.num_landmarks} landmarks from "
+              f"{args.landmark_csv_dir} (best fraction "
+              f"{float(np.asarray(db.best).mean()):.2f})", file=sys.stderr)
     for seed in range(args.first, args.first + args.num):
         # ground truth must be simulated in f64 (on the host CPU backend
         # when the default backend is an f32-only accelerator): f32
@@ -37,6 +46,7 @@ def cmd_simulate(args):
             else:
                 seq = pipeline.simulate_sequence(
                     seed, duration_s=args.duration, frame_stride=args.stride,
+                    db=db,
                     along_track=args.along_track, noise_px=args.noise_px,
                     pass_every_s=args.pass_every, pass_len_s=args.pass_len,
                     hifi_truth=args.hifi_truth,
@@ -286,6 +296,13 @@ def main(argv=None):
                         "(drag/SRP/third-body)")
     s.add_argument("--imagery", action="store_true",
                    help="full imagery path: region rasters + NCC detector")
+    s.add_argument("--landmark-csv-dir", default=None,
+                   help="load the landmark DB from a VINSat-format CSV "
+                        "directory (e.g. the reference's "
+                        "sim/landmark_csvs) instead of synthesizing one")
+    s.add_argument("--no-best-classes", action="store_true",
+                   help="skip the detector-QA best-class downselect when "
+                        "loading --landmark-csv-dir")
     s.set_defaults(fn=cmd_simulate)
 
     s = sub.add_parser("stream")

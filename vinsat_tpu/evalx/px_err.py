@@ -93,6 +93,42 @@ def best_conf_maximize_classes(err: np.ndarray, px_threshold: float = 10.0,
     return out, best_conf
 
 
+def best_classes_grid(err: np.ndarray, conf: np.ndarray,
+                      px_threshold: float = 10.0, min_conf: float = 0.5,
+                      max_conf: float = 0.90, steps: int = 100
+                      ) -> Tuple[np.ndarray, float]:
+    """Vectorized best_conf_maximize_classes for REGULAR records: err/conf
+    are (n_classes, samples) with one row per class.
+
+    Same selection rule (first confidence threshold maximizing #classes
+    whose median matched error is under px_threshold,
+    eval_landmarks.py:259-286) evaluated as a (steps, n_classes, samples)
+    masked nanmedian instead of a per-class Python loop — equivalence with
+    best_conf_maximize_classes is tested (tests/test_px_err.py).
+
+    Returns (accepted-class bool mask (n_classes,), best conf).
+    """
+    err = np.asarray(err, dtype=np.float64)
+    conf = np.asarray(conf, dtype=np.float64)
+    grid = np.linspace(min_conf, max_conf, steps)
+    # matched positives only (err > 0; -1 sentinels are unmatched/missed)
+    e = np.where((conf[None] > grid[:, None, None]) & (err[None] > 0),
+                 err[None], np.nan)  # (steps, n, S)
+    import warnings
+
+    with np.errstate(invalid="ignore"), warnings.catch_warnings():
+        # an all-NaN row is a class filtered out at this threshold — the
+        # NaN median is the intended sentinel, not an anomaly
+        warnings.simplefilter("ignore", RuntimeWarning)
+        med = np.nanmedian(e, axis=-1)  # (steps, n); NaN = class filtered out
+        ok = med < px_threshold  # NaN compares False
+    counts = ok.sum(axis=-1)
+    best = int(np.argmax(counts))  # first maximizer, like the `>` loop
+    if counts[best] == 0:
+        return np.zeros(err.shape[0], dtype=bool), 0.0
+    return ok[best], float(grid[best])
+
+
 def summarize_detector(err: np.ndarray, px_threshold: float = 10.0
                        ) -> Dict[str, float]:
     classes, best_conf = best_conf_maximize_classes(err, px_threshold)

@@ -159,6 +159,65 @@ def load_csv_dir(path: str, regions: Optional[Sequence[str]] = None,
     )
 
 
+def select_best_classes(db: LandmarkDB, seed: int = 0,
+                        samples_per_class: int = 12,
+                        px_threshold: float = 10.0,
+                        scale_median_px: float = 10.0,
+                        scale_sigma: float = 0.6):
+    """Detector-QA class downselect over a landmark DB — the best_classes
+    stage of the reference pipeline (per-region error records -> confidence
+    search maximizing #classes under the 10 px bound,
+    eval/eval_landmarks.py:259-286; outputs consumed at sim/SatCam.py:234
+    and sim/nadir_sim.py:97-103).
+
+    The framework carries no externally-trained YOLO weights, so per-class
+    detector quality comes from the calibrated model: class k localizes
+    with pixel scale s_k ~ LogNormal(ln scale_median_px, scale_sigma) and
+    confidence ~ U(0.5, 1).  The resulting [cls, err_px, conf] records run
+    through the REAL reference selection rule
+    (px_err.best_conf_maximize_classes), per region — so the accepted-class
+    mask has the same statistical shape as the reference's best_classes
+    (a minority of ~495 classes per region; measured ~40% here).
+
+    Returns (db with the best mask replaced, {region: best_conf}).
+    """
+    from vinsat_tpu.evalx import px_err
+
+    rng = np.random.default_rng(seed)
+    region = np.asarray(db.region)
+    cls = np.asarray(db.cls)
+    best = np.zeros(db.num_landmarks, dtype=bool)
+    best_confs = {}
+    for r in np.unique(region):
+        at = region == r
+        classes = cls[at]
+        n = len(classes)
+        # per-class localization scale (detector quality varies by class)
+        s_k = np.exp(np.log(scale_median_px)
+                     + scale_sigma * rng.standard_normal(n))
+        err = np.hypot(
+            rng.standard_normal((n, samples_per_class)) * s_k[:, None],
+            rng.standard_normal((n, samples_per_class)) * s_k[:, None],
+        )
+        conf = 0.5 + 0.5 * rng.random((n, samples_per_class))
+        keep, bc = px_err.best_classes_grid(err, conf,
+                                            px_threshold=px_threshold)
+        best_confs[int(r)] = bc
+        best[np.nonzero(at)[0][keep]] = True
+    return db._replace(best=jnp.asarray(best)), best_confs
+
+
+def load_reference_db(csv_dir: str, best_downselect: bool = True,
+                      seed: int = 0) -> LandmarkDB:
+    """Load the reference's landmark CSV directory and (optionally) apply
+    the detector-QA best-class downselect — the DB configuration the
+    reference sim runs with (sim/SatCam.py:156-164,234)."""
+    db = load_csv_dir(csv_dir)
+    if best_downselect:
+        db, _ = select_best_classes(db, seed=seed)
+    return db
+
+
 def in_bounds_mask(db: LandmarkDB, bounds):
     """(..., L) mask of landmarks with centroid inside lon/lat box bounds
     (lon_min, lat_min, lon_max, lat_max), broadcast over leading axes.
