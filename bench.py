@@ -237,13 +237,28 @@ def main():
                 if len(r.errors):
                     ev_errors.append(r.errors)
                     ev_times.append(r.times)
+                    # terminal information bound + efficiency column: how
+                    # close the final error sits to the CRLB of this
+                    # sequence's detection geometry (evalx/crlb.py)
+                    from vinsat_tpu.estimation.window import _f64_prep_context
+                    from vinsat_tpu.evalx import crlb as _crlb
+
+                    with _f64_prep_context():
+                        cb = _crlb.terminal_crlb_km(sq.orbit_pos_eci_km,
+                                                    sq.det_rows)
+                    eff = _crlb.efficiency(cb["crlb_final_km"],
+                                           float(r.errors[-1]))
                     per_orbit.append({
                         "seed": s, "n_dets": len(sq.det_rows),
                         "min_err_km": round(float(r.errors.min()), 3),
                         "final_err_km": round(float(r.errors[-1]), 3),
+                        "crlb_final_km": round(cb["crlb_final_km"], 3),
+                        "efficiency": round(eff, 3),
+                        "obs_span_s": cb["obs_span_s"],
                     })
                     log(f"{name} orbit {s}: min {r.errors.min():.2f} km "
-                        f"final {r.errors[-1]:.2f} km")
+                        f"final {r.errors[-1]:.2f} km "
+                        f"crlb {cb['crlb_final_km']:.2f} km eff {eff:.2f}")
             summary = _ate.summarize(ev_errors, ev_times)
             extra[name] = {k: (round(v, 3) if isinstance(v, float) else v)
                            for k, v in summary.items()}

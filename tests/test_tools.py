@@ -147,3 +147,109 @@ def test_write_yolo_labels(tmp_path):
     write_yolo_labels(rows, p)
     cls, xc, yc, w, h = open(p).read().split()
     assert cls == "3" and float(xc) == 0.5 and float(h) == 0.2
+
+
+def test_visualize_label_overlay(tmp_path):
+    """visualize_label parity (label_ld.py:116-137): green 2-px box edges +
+    class-id glyphs, PPM export, and txt round-trip."""
+    from vinsat_tpu.tools import labeling
+
+    H, W = 120, 160
+    img = np.zeros((H, W, 3), np.uint8)
+    rows = np.array([[3, 0.5, 0.5, 0.25, 0.25],
+                     [17, 0.2, 0.7, 0.1, 0.1]])
+    out = labeling.visualize_label(rows, img)
+    assert out.shape == (H, W, 3) and out.dtype == np.uint8
+    green = (out[..., 1] == 255) & (out[..., 0] == 0) & (out[..., 2] == 0)
+    # box 0: xc=80, yc=60, w=40, h=30 -> left=60, top=45, right=100, bot=75
+    assert green[45:47, 60:100].all()     # top edge, 2 px thick
+    assert green[74:76, 60:100].all()     # bottom edge
+    assert green[45:76, 60:62].all()      # left edge
+    assert not green[60, 80]              # interior untouched
+    assert (img == 0).all()               # input not mutated
+    # class-id glyphs drawn above the box
+    assert green[33:43, 60:80].any()
+    # ppm roundtrip
+    p = tmp_path / "viz.ppm"
+    labeling.write_ppm(out, str(p))
+    data = p.read_bytes()
+    assert data.startswith(b"P6\n160 120\n255\n")
+    assert len(data) == len(b"P6\n160 120\n255\n") + H * W * 3
+    # label txt roundtrip feeds the same overlay
+    txt = tmp_path / "l.txt"
+    labeling.write_yolo_labels(rows, str(txt))
+    out2 = labeling.visualize_label(str(txt), img)
+    np.testing.assert_array_equal(out, out2)
+
+
+def test_load_rasterio_with_stub(tmp_path, monkeypatch):
+    """RasterImageServer.load_rasterio (tools/raster.py ≙ SatCam.py:283-316)
+    against a stubbed rasterio module: band (3,H,W)->HWC move, geotransform
+    capture, and windowed cropping through the loaded raster."""
+    import sys
+    import types
+
+    H, W = 40, 60
+    bands = np.arange(3 * H * W, dtype=np.uint8).reshape(3, H, W)
+
+    class _T:
+        a, b, c, d, e, f = 0.1, 0.0, -120.0, 0.0, -0.1, 42.0
+
+    class _Src:
+        transform = _T()
+
+        def read(self, idx):
+            assert tuple(idx) == (1, 2, 3)
+            return bands
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    stub = types.ModuleType("rasterio")
+    opened = []
+
+    def _open(path):
+        opened.append(path)
+        return _Src()
+
+    stub.open = _open
+    monkeypatch.setitem(sys.modules, "rasterio", stub)
+
+    srv = RasterImageServer()
+    assert srv.load_rasterio("10S", "/fake/region.tif") is True
+    assert opened == ["/fake/region.tif"]
+    assert "10S" in srv.regions()
+    img, t = srv._images["10S"]
+    assert img.shape == (H, W, 3)  # (3,H,W) moved to HWC
+    np.testing.assert_array_equal(img[:, :, 0], bands[0])
+    assert (t.a, t.b, t.c, t.d, t.e, t.f) == (0.1, 0.0, -120.0, 0.0, -0.1,
+                                              42.0)
+    # a window crop through the loaded raster: world box -> pixel window
+    win, wt = srv.get_window("10S", -119.0, 41.0, -118.0, 41.5)
+    # cols: (-119 - -120)/0.1 = 10 .. 20; rows: (42-41.5)/0.1=5 .. 10
+    assert win.shape == (5, 10, 3)
+    np.testing.assert_array_equal(win, img[5:10, 10:20])
+    # window transform maps crop pixel (0,0) to the box's top-left world pt
+    np.testing.assert_allclose(wt.pixel_to_world(0, 0), (-119.0, 41.5))
+
+
+def test_load_rasterio_absent(monkeypatch):
+    """Without rasterio importable, load_rasterio degrades to False."""
+    import builtins
+    import sys
+
+    monkeypatch.delitem(sys.modules, "rasterio", raising=False)
+    real_import = builtins.__import__
+
+    def fake_import(name, *a, **k):
+        if name == "rasterio":
+            raise ImportError("no rasterio")
+        return real_import(name, *a, **k)
+
+    monkeypatch.setattr(builtins, "__import__", fake_import)
+    srv = RasterImageServer()
+    assert srv.load_rasterio("10S", "/fake.tif") is False
+    assert srv.regions() == []

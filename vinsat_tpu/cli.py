@@ -239,6 +239,17 @@ def cmd_label(args):
         for r in rows:
             f.write(f"{int(r[0])} {r[1]} {r[2]} {r[3]} {r[4]}\n")
     print(f"wrote {len(rows)} labels to {args.output_path}")
+    if args.viz:
+        # label-overlay QA image (visualize_label, label_ld.py:116-137);
+        # with no raster given, boxes render on a neutral canvas
+        from vinsat_tpu.tools.labeling import visualize_label, write_ppm
+
+        if args.viz_image and os.path.exists(args.viz_image):
+            canvas = np.load(args.viz_image)
+        else:
+            canvas = np.full((args.height, args.width, 3), 64, np.uint8)
+        write_ppm(visualize_label(rows, canvas), args.viz)
+        print(f"wrote label overlay to {args.viz}", file=sys.stderr)
 
 
 def _configure_jax():
@@ -368,6 +379,10 @@ def main(argv=None):
     s.add_argument("--lat_max", type=float, required=True)
     s.add_argument("--width", type=int, default=4608)
     s.add_argument("--height", type=int, default=2592)
+    s.add_argument("--viz", default=None,
+                   help="write a label-overlay QA image (PPM) here")
+    s.add_argument("--viz_image", default=None,
+                   help="npy image to overlay on (default: neutral canvas)")
     s.set_defaults(fn=cmd_label)
 
     args = p.parse_args(argv)

@@ -171,21 +171,32 @@ def simulate_sequence_imagery(seed: int, duration_s: int = 600,
                               deg_per_px: float = 0.01,
                               conf_threshold: float = 0.55,
                               amplitude: float = 1.5,
-                              max_region_span_deg: float = 12.0
-                              ) -> SimulatedSequence:
+                              max_region_span_deg: float = 12.0,
+                              detector=None,
+                              templates=None) -> SimulatedSequence:
     """Detection-sequence generation through the FULL imagery path: render
     synthetic REGION rasters along the ground track, crop per-frame
-    footprint windows via the raster server, run the template detector, and
-    map image-space detections back to the reference's global row contract
+    footprint windows via the raster server, run the detector, and map
+    image-space detections back to the reference's global row contract
     (run_sim with rasters+detector, sim/nadir_sim.py:138-265).
 
-    Device-batched (VERDICT r1 weak #8): footprints, the NCC detector, and
+    Device-batched (VERDICT r1 weak #8): footprints, the detector, and
     the detection reprojections each run as ONE jitted batch over all
     frames/candidates — the only per-frame host work is the raster window
     crop (C++ vt_crop_window).  Landmarks are clustered into bounded
     regional rasters (<= max_region_span_deg), so a multi-orbit arc gets a
     chain of region images like the reference's MGRS GeoTIFFs instead of
     one planet-sized raster.
+
+    detector: None runs the NCC TemplateDetector (scores in [-1, 1],
+    confidence calibrated as 0.5 + 0.5*score; conf_threshold gates the raw
+    score).  Passing a learned_detector.TrainedDetector runs the trained
+    PatchCNN instead — the reference's YOLO -> detections -> OD chain
+    (nadir_sim.py:94-103,220); its scores ARE confidences in [0, 1] and
+    conf_threshold gates them directly.  templates overrides the rendered
+    landmark appearance (must cover num_landmarks classes) so rasters can
+    be rendered with the class textures a committed detector was trained
+    on.
     """
     import jax.numpy as jnp
 
@@ -214,7 +225,13 @@ def simulate_sequence_imagery(seed: int, duration_s: int = 600,
     lon = np.asarray(db.lon)[:num_landmarks]
     lat = np.asarray(db.lat)[:num_landmarks]
     K = len(lon)
-    templates = imagery.make_landmark_templates(k_tmpl, K, size=12)
+    if templates is None:
+        templates = imagery.make_landmark_templates(k_tmpl, K, size=12)
+    else:
+        if templates.shape[0] < K:
+            raise ValueError(f"templates cover {templates.shape[0]} classes "
+                             f"< {K} landmarks")
+        templates = jnp.asarray(templates)[:K]
 
     # ---- stage 0: cluster landmarks (track-ordered) into regional rasters
     clusters: List[List[int]] = []
@@ -300,9 +317,9 @@ def simulate_sequence_imagery(seed: int, duration_s: int = 600,
     Hc = int(np.ceil(max(c.shape[0] for c in crops) / 64) * 64)
     Wc = int(np.ceil(max(c.shape[1] for c in crops) / 64) * 64)
 
-    # ---- stage 3: chunk-batched NCC over all crops (MXU convs) -----------
-    # chunking bounds the (chunk, K, Hc, Wc) correlation intermediate while
-    # amortizing dispatch: ~F/chunk device calls instead of F
+    # ---- stage 3: chunk-batched detection over all crops (MXU work) ------
+    # chunking bounds the (chunk, K, Hc, Wc) correlation / patch-grid
+    # intermediate while amortizing dispatch: ~F/chunk device calls
     chunk = max(1, min(16, int(2e8 / max(K * Hc * Wc, 1))))
     F = len(crops)
     scores_b = np.zeros((F, K), np.float32)
@@ -313,8 +330,14 @@ def simulate_sequence_imagery(seed: int, duration_s: int = 600,
         for j in range(j0, min(F, j0 + chunk)):
             c = crops[j]
             batch[j - j0, :c.shape[0], :c.shape[1]] = c
-        s, r, c_ = imagery.correlate_peaks_batch(jnp.asarray(batch),
-                                                 templates)
+        if detector is None:
+            s, r, c_ = imagery.correlate_peaks_batch(jnp.asarray(batch),
+                                                     templates)
+        else:
+            from vinsat_tpu.sim import learned_detector as ld_mod
+
+            s, r, c_ = ld_mod.detect_peaks_batch(detector, batch)
+            s, r, c_ = s[:, :K], r[:, :K], c_[:, :K]
         n = min(F, j0 + chunk) - j0
         scores_b[j0:j0 + n] = np.asarray(s)[:n]
         rows_b[j0:j0 + n] = np.asarray(r)[:n]
@@ -335,7 +358,10 @@ def simulate_sequence_imagery(seed: int, duration_s: int = 600,
     dlat = wa[jsel, 3] * c_sel + wa[jsel, 4] * r_sel + wa[jsel, 5]
     fi_a = np.array([m[0] for m in metas])[jsel]
     pose_a = np.array([m[1] for m in metas])[jsel]
-    conf_a = 0.5 + 0.5 * scores_b[jsel, ksel]
+    # NCC scores in [-1,1] calibrate to detector-style confidence;
+    # PatchCNN scores are softmax probabilities — already confidences
+    conf_a = (scores_b[jsel, ksel] if detector is not None
+              else 0.5 + 0.5 * scores_b[jsel, ksel])
     cand = list(zip(fi_a, pose_a, ksel, dlon, dlat, conf_a))
     if not cand:
         return SimulatedSequence(np.zeros((0, 6)), np.asarray(traj.pos_eci),

@@ -179,6 +179,10 @@ import functools
 def _detect_grid(params, img, num_classes: int, S: int, stride: int):
     """Best softmax probability + location per class over the patch grid."""
     patches, nr, nc = _extract_patches(img, S, stride)
+    return _classify_patches(params, patches, nr, nc, num_classes, S, stride)
+
+
+def _classify_patches(params, patches, nr, nc, num_classes, S, stride):
     patches = _normalize_patches(patches)
     model = PatchCNN(num_classes=num_classes)
     logits = model.apply({"params": params}, patches[..., None])
@@ -195,6 +199,66 @@ def _detect_grid(params, img, num_classes: int, S: int, stride: int):
     rows_ = (idx // nc) * stride + S // 2
     cols_ = (idx % nc) * stride + S // 2
     return best, rows_.astype(jnp.float32), cols_.astype(jnp.float32)
+
+
+def _classify_gated_chunked(params, patches, num_classes: int,
+                            batch: int = 8192):
+    """(P, K) background-gated class probabilities, classified in bounded
+    chunks: OD-scale crops yield ~50k patches/frame, and one flat forward
+    pass would materialize P*S^2*features conv activations (hundreds of GB
+    over a frame batch — measured OOM).  lax.map bounds the live
+    activations to one `batch` at a time inside a single device program."""
+    P = patches.shape[0]
+    nb = -(-P // batch)
+    pad = jnp.zeros((nb * batch,) + patches.shape[1:], patches.dtype)
+    pad = jax.lax.dynamic_update_slice(pad, patches,
+                                       (0,) * patches.ndim)
+    model = PatchCNN(num_classes=num_classes)
+
+    def body(chunk):
+        chunk = _normalize_patches(chunk)
+        logits = model.apply({"params": params}, chunk[..., None])
+        full = jax.nn.softmax(logits, axis=-1)
+        cls_hat = jnp.argmax(full, axis=-1)
+        probs = full[:, :num_classes]
+        return jnp.where(
+            cls_hat[:, None] == jnp.arange(num_classes)[None], probs, 0.0)
+
+    gated = jax.lax.map(body, pad.reshape((nb, batch) + patches.shape[1:]))
+    return gated.reshape(nb * batch, num_classes)[:P]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("num_classes", "S", "stride", "batch"))
+def _detect_grid_batch(params, imgs, num_classes: int, S: int, stride: int,
+                       batch: int = 8192):
+    imgs = imgs.astype(jnp.float32)
+
+    def per_frame(im):
+        patches, nr, nc = _extract_patches(im, S, stride)
+        gated = _classify_gated_chunked(params, patches, num_classes, batch)
+        idx = jnp.argmax(gated, axis=0)  # (K,) best owning patch per class
+        best = jnp.take_along_axis(gated, idx[None], axis=0)[0]
+        rows_ = (idx // nc) * stride + S // 2
+        cols_ = (idx % nc) * stride + S // 2
+        return best, rows_.astype(jnp.float32), cols_.astype(jnp.float32)
+
+    # frames sequential (lax.map), patches chunked: peak live memory is one
+    # patch chunk's activations regardless of F or crop size
+    return jax.lax.map(per_frame, imgs)
+
+
+def detect_peaks_batch(det: "TrainedDetector", imgs):
+    """Batched grid detection over (F, H, W) crops in ONE device call —
+    the learned-detector counterpart of imagery.correlate_peaks_batch
+    (same contract: (F, K) scores/rows/cols), so the imagery OD pipeline
+    can swap the NCC stage for the trained PatchCNN (the reference's
+    YOLO -> detections -> OD chain, sim/nadir_sim.py:94-103,220).
+
+    Scores are softmax probabilities in [0, 1] (already detector-style
+    confidences, unlike NCC scores in [-1, 1])."""
+    return _detect_grid_batch(det.params, jnp.asarray(imgs, jnp.float32),
+                              det.num_classes, det.patch_size, det.stride)
 
 
 def train_detector(key, templates, steps: int = 3000, batch: int = 256,

@@ -146,3 +146,96 @@ def write_yolo_labels(rows: np.ndarray, path: str):
         for r in rows:
             f.write(f"{int(r[0])} {r[1]:.6f} {r[2]:.6f} "
                     f"{r[3]:.6f} {r[4]:.6f}\n")
+
+
+def read_yolo_labels(path: str) -> np.ndarray:
+    """Read a YOLO txt label file back into (K, 5) rows."""
+    rows = []
+    with open(path) as f:
+        for line in f:
+            p = line.split()
+            if len(p) == 5:
+                rows.append([float(v) for v in p])
+    return np.array(rows) if rows else np.zeros((0, 5))
+
+
+# 3x5 bitmap digit glyphs for the class-id annotation (cv2.putText stand-in)
+_DIGITS = {
+    "0": ["111", "101", "101", "101", "111"],
+    "1": ["010", "110", "010", "010", "111"],
+    "2": ["111", "001", "111", "100", "111"],
+    "3": ["111", "001", "111", "001", "111"],
+    "4": ["101", "101", "111", "001", "001"],
+    "5": ["111", "100", "111", "001", "111"],
+    "6": ["111", "100", "111", "101", "111"],
+    "7": ["111", "001", "010", "010", "010"],
+    "8": ["111", "101", "111", "101", "111"],
+    "9": ["111", "101", "111", "001", "111"],
+}
+
+
+def _draw_digits(im: np.ndarray, text: str, top: int, left: int,
+                 color, scale: int = 2):
+    H, W = im.shape[:2]
+    x = left
+    for ch in text:
+        g = _DIGITS.get(ch)
+        if g is None:
+            x += 4 * scale
+            continue
+        for r in range(5):
+            for c in range(3):
+                if g[r][c] == "1":
+                    y0, x0 = top + r * scale, x + c * scale
+                    im[max(0, y0):max(0, min(H, y0 + scale)),
+                       max(0, x0):max(0, min(W, x0 + scale))] = color
+        x += 4 * scale
+
+
+def visualize_label(labels: np.ndarray, image: np.ndarray,
+                    color=(0, 255, 0), thickness: int = 2) -> np.ndarray:
+    """Overlay YOLO label boxes + class ids on an image — the labeling QA
+    visualization of the reference (visualize_label,
+    labeling/label_ld.py:116-137: green 2-px cv2 rectangles with the class
+    id drawn at the top-left corner), implemented in pure numpy.
+
+    labels: (K, 5) [cls, xc_n, yc_n, w_n, h_n] rows (or a label .txt path);
+    image: (H, W, 3) uint8 (or a grayscale (H, W), promoted).
+    Returns a new annotated (H, W, 3) uint8 image.
+    """
+    if isinstance(labels, str):
+        labels = read_yolo_labels(labels)
+    im = np.asarray(image)
+    if im.ndim == 2:
+        im = np.repeat(im[..., None], 3, axis=-1)
+    im = im.astype(np.uint8).copy()
+    H, W = im.shape[:2]
+    color = np.asarray(color, np.uint8)
+    for row in np.asarray(labels):
+        cls, xc, yc, w, h = row[:5]
+        left = int((xc - w / 2) * W)
+        top = int((yc - h / 2) * H)
+        right = int((xc + w / 2) * W)
+        bottom = int((yc + h / 2) * H)
+        l, t_ = max(0, left), max(0, top)
+        r_, b = min(W, right + 1), min(H, bottom + 1)
+        if r_ <= l or b <= t_:
+            continue
+        th = thickness
+        im[t_:min(b, t_ + th), l:r_] = color          # top edge
+        im[max(t_, b - th):b, l:r_] = color           # bottom edge
+        im[t_:b, l:min(r_, l + th)] = color           # left edge
+        im[t_:b, max(l, r_ - th):r_] = color          # right edge
+        _draw_digits(im, str(int(cls)), top - 12, left, color)
+    return im
+
+
+def write_ppm(image: np.ndarray, path: str):
+    """Write an (H, W, 3) uint8 image as binary PPM (P6) — dependency-free
+    counterpart of the reference's cv2.imwrite for the viz_labels output
+    (label_ld.py:113)."""
+    im = np.ascontiguousarray(np.asarray(image, np.uint8))
+    assert im.ndim == 3 and im.shape[2] == 3
+    with open(path, "wb") as f:
+        f.write(f"P6\n{im.shape[1]} {im.shape[0]}\n255\n".encode())
+        f.write(im.tobytes())

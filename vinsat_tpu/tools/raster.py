@@ -82,8 +82,12 @@ class RasterImageServer:
         data, t = self._images[region]
         c0, r0 = t.world_to_pixel(min_x, max_y)  # top-left
         c1, r1 = t.world_to_pixel(max_x, min_y)  # bottom-right
-        col0, row0 = int(c0), int(r0)
-        ow, oh = int(c1) - col0, int(r1) - row0
+        # floor with an epsilon so box edges landing exactly on a pixel
+        # boundary (up to float noise in the affine inverse) don't slip
+        # one pixel early
+        col0, row0 = int(np.floor(c0 + 1e-6)), int(np.floor(r0 + 1e-6))
+        ow = int(np.floor(c1 + 1e-6)) - col0
+        oh = int(np.floor(r1 + 1e-6)) - row0
         if ow <= 0 or oh <= 0:
             return None, None
         try:
