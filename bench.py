@@ -189,6 +189,7 @@ def main():
     vs_baseline = base_iter / ours_iter
 
     extra = {
+        "frames_per_s_spread": [round(fps_all[0], 1), round(fps_all[-1], 1)],
         "time_to_5km_s": t5,
         "final_error_km": round(final_err, 3),
         "num_windows": len(windows),
