@@ -125,8 +125,11 @@ def test_sharded_stream_matches_single_chip():
     res_single = window.stream_orbit(seq.det_rows, seq.orbit_pos_eci_km,
                                      seed=3, cfg=cfg, fast=False)
     mesh = mesh_mod.make_mesh(n_orbit=1, n_arc=4)
+    # shard_min_knots=0 forces EVERY window through the sharded solver (the
+    # dispatch policy would keep these sub-256-knot windows on one device)
     res_shard = dist_stream.stream_orbit_sharded(
-        seq.det_rows, seq.orbit_pos_eci_km, mesh, seed=3, cfg=cfg)
+        seq.det_rows, seq.orbit_pos_eci_km, mesh, seed=3, cfg=cfg,
+        shard_min_knots=0)
 
     assert len(res_shard.errors) == len(res_single.errors)
     np.testing.assert_array_equal(res_shard.times, res_single.times)
@@ -151,7 +154,30 @@ def test_sharded_stream_marginalized_converges():
                                      seed=3, cfg=cfg, fast=False)
     mesh = mesh_mod.make_mesh(n_orbit=1, n_arc=4)
     res_shard = dist_stream.stream_orbit_sharded(
-        seq.det_rows, seq.orbit_pos_eci_km, mesh, seed=3, cfg=cfg)
+        seq.det_rows, seq.orbit_pos_eci_km, mesh, seed=3, cfg=cfg,
+        shard_min_knots=0)
     e_s, e_d = res_single.errors[-1], res_shard.errors[-1]
     assert e_d < 5.0, e_d
     assert abs(e_d - e_s) < max(0.25 * max(e_s, 1.0), 0.25), (e_s, e_d)
+
+
+def test_small_window_dispatch_policy():
+    """Dispatch policy (VERDICT r3 next #4): with the measured default
+    threshold, sub-256-knot windows solve on ONE device of the mesh — and
+    the stream's result matches the force-sharded run (same solver code at
+    nshards=1, so only SPIKE-vs-Thomas roundoff differs)."""
+    seq = pipeline.simulate_sequence(3, duration_s=1800, frame_stride=10,
+                                     along_track=True)
+    cfg = window.StreamingConfig(max_iters=30)
+    mesh = mesh_mod.make_mesh(n_orbit=1, n_arc=4)
+    res_auto = dist_stream.stream_orbit_sharded(
+        seq.det_rows, seq.orbit_pos_eci_km, mesh, seed=3, cfg=cfg)
+    res_forced = dist_stream.stream_orbit_sharded(
+        seq.det_rows, seq.orbit_pos_eci_km, mesh, seed=3, cfg=cfg,
+        shard_min_knots=0)
+    np.testing.assert_array_equal(res_auto.times, res_forced.times)
+    d = np.linalg.norm(res_auto.final_states[:, :3]
+                       - res_forced.final_states[:, :3], axis=-1)
+    assert np.median(d) < 0.1, np.median(d)
+    e_a, e_f = res_auto.errors[-1], res_forced.errors[-1]
+    assert abs(e_a - e_f) < max(0.05 * max(e_f, 1.0), 0.05), (e_a, e_f)

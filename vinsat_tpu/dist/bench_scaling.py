@@ -65,6 +65,9 @@ def main(argv=None):
                     help="knots per shard (constant in weak scaling)")
     ap.add_argument("--obs", type=int, default=8)
     ap.add_argument("--repeats", type=int, default=10)
+    ap.add_argument("--dispatch-scan", action="store_true",
+                    help="scan window sizes for the shard-vs-single-device "
+                         "crossover of the full window solve")
     args = ap.parse_args(argv)
 
     import jax
@@ -106,6 +109,47 @@ def main(argv=None):
             f_1()
             t1.append(time.perf_counter() - t0)
         return float(np.min(ts)), float(np.min(t1))
+
+    if args.dispatch_scan:
+        # ---- window-size dispatch crossover (VERDICT r3 next #4) --------
+        # For EACH window size N, time the FULL window solve (the unit the
+        # streaming driver dispatches, make_sharded_window_solver) sharded
+        # over all arc devices vs on ONE device.  The crossover knot count
+        # is where sharding starts winning; below it the distributed
+        # streaming driver should keep the window on a single device.
+        num_iters, lm_iters = 10, 10
+        wparams = params._replace(max_iters=lm_iters)
+
+        def make_solve(P, N):
+            mesh = mesh_mod.make_mesh(n_orbit=1, n_arc=P)
+            prob = build_problem(N, args.obs, dtype)
+            solve = sharded_ba.make_sharded_window_solver(
+                mesh, wparams, num_iters=num_iters)
+            lam = jnp.full((1,), 1e-4, dtype)
+            jax.block_until_ready(solve(lam, prob))
+            return lambda: jax.block_until_ready(solve(lam, prob))
+
+        for N in (16, 32, 64, 128, 256, 512):
+            if N % n_dev:
+                continue
+            f_sh = make_solve(n_dev, N)
+            f_1 = make_solve(1, N)
+            ts, t1 = [], []
+            for _ in range(args.repeats):
+                t0 = time.perf_counter()
+                f_sh()
+                ts.append(time.perf_counter() - t0)
+                t0 = time.perf_counter()
+                f_1()
+                t1.append(time.perf_counter() - t0)
+            t_sh, t_one = float(np.min(ts)), float(np.min(t1))
+            print(json.dumps({
+                "window_knots": N, "arc_shards": n_dev,
+                "sharded_solve_ms": round(t_sh * 1e3, 2),
+                "single_device_ms": round(t_one * 1e3, 2),
+                "shard_wins": bool(t_sh < t_one),
+            }))
+        return
 
     P = 2
     while P <= n_dev:

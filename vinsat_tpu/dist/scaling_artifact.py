@@ -28,7 +28,8 @@ import sys
 import time
 
 
-def _run_overhead(repeats: int = 10, base_knots: int = 64):
+def _run_overhead(repeats: int = 10, base_knots: int = 64,
+                  dispatch_scan: bool = False):
     """dist/bench_scaling.py in a subprocess (needs its own XLA_FLAGS)."""
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
@@ -37,14 +38,17 @@ def _run_overhead(repeats: int = 10, base_knots: int = 64):
     env["PYTHONPATH"] = os.pathsep.join(
         p for p in env.get("PYTHONPATH", "").split(os.pathsep)
         if p and "axon_site" not in p) or os.getcwd()
-    out = subprocess.run(
-        [sys.executable, "-m", "vinsat_tpu.dist.bench_scaling",
-         "--repeats", str(repeats), "--base-knots", str(base_knots)],
-        env=env, capture_output=True, text=True, timeout=1800)
+    cmd = [sys.executable, "-m", "vinsat_tpu.dist.bench_scaling",
+           "--repeats", str(repeats), "--base-knots", str(base_knots)]
+    if dispatch_scan:
+        cmd.append("--dispatch-scan")
+    out = subprocess.run(cmd, env=env, capture_output=True, text=True,
+                         timeout=1800)
     rows = []
     for line in out.stdout.splitlines():
         try:
-            rows.append(json.loads(line) | {"base_knots": base_knots})
+            rows.append(json.loads(line) | ({} if dispatch_scan
+                                            else {"base_knots": base_knots}))
         except ValueError:
             pass
     return rows, out.returncode
@@ -64,7 +68,7 @@ def _run_multiproc(num_processes: int, local_devices: int, program: str,
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default="SCALING_r03.json")
+    ap.add_argument("--out", default="SCALING_r04.json")
     ap.add_argument("--repeats", type=int, default=10)
     args = ap.parse_args(argv)
 
@@ -88,6 +92,21 @@ def main(argv=None):
         "oversubscription; the 256-knot rows are the meaningful collective-"
         "overhead measurement (ratio < 1 = the SPIKE sequential-depth cut "
         "outweighs halo/psum cost)")
+
+    scan, rc = _run_overhead(args.repeats, dispatch_scan=True)
+    artifact["window_dispatch_scan"] = scan
+    print(json.dumps({"dispatch_scan": scan, "rc": rc}), flush=True)
+    crossover = next((r["window_knots"] for r in scan
+                      if r.get("shard_wins")), None)
+    artifact["dispatch_policy"] = {
+        "shard_min_knots_default": 256,
+        "measured_crossover_knots": crossover,
+        "note": ("stream_orbit_sharded solves windows below the threshold "
+                 "on ONE device (no halo/psum/SPIKE overhead) and shards "
+                 "only above it — no regime where the distributed driver "
+                 "is slower than single-chip on the same window "
+                 "(dist/stream.SHARD_MIN_KNOTS_DEFAULT)"),
+    }
 
     runs = []
     for P, ld in ((2, 2), (4, 2), (8, 1)):

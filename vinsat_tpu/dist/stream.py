@@ -37,6 +37,16 @@ from vinsat_tpu.estimation.window import (StreamingConfig, StreamingResult,
                                           prepare_stream, propagate_segment)
 from vinsat_tpu.dist import sharded_ba
 
+# Shard a window over the "arc" axis only at or above this many (bucketed)
+# knots; below it the whole window solves on ONE device of the mesh.
+# Measured crossover of the full window solve on the 8-virtual-device CPU
+# mesh (dist/bench_scaling.py --dispatch-scan, SCALING_r04.json): single
+# device wins up to 128 knots (halo + psum + SPIKE overhead dominates),
+# sharding wins from 256.  Real multi-chip shards own their own silicon,
+# so 256 is the conservative end; override per deployment via the
+# `shard_min_knots` argument.
+SHARD_MIN_KNOTS_DEFAULT = 256
+
 
 def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
@@ -101,9 +111,10 @@ def stream_orbit_sharded(det_rows: np.ndarray, orbit_pos_eci_km: np.ndarray,
                          mesh: Mesh, seed: int = 0,
                          cfg: StreamingConfig = StreamingConfig(),
                          solver: ba.SolverParams = ba.SolverParams(),
-                         intrinsics: Optional[np.ndarray] = None
-                         ) -> StreamingResult:
-    """Streaming OD with every window solved across the mesh "arc" axis.
+                         intrinsics: Optional[np.ndarray] = None,
+                         shard_min_knots: int = -1) -> StreamingResult:
+    """Streaming OD with each window solved across the mesh "arc" axis —
+    when the window is big enough to profit from it.
 
     Mirrors `window.stream_orbit`'s sync path (same prep, window split,
     propagation, λ schedule, iteration budget, error recording); supported
@@ -111,8 +122,27 @@ def stream_orbit_sharded(det_rows: np.ndarray, orbit_pos_eci_km: np.ndarray,
     (anchor knot carrying the TRUE terminal marginal as a sharded BA_reg
     prior).  The deterministic prep (prepare_stream) is shared with the
     single-chip driver, so results are comparable sequence-for-sequence.
+
+    shard_min_knots: windows below this bucketed knot count solve on ONE
+    device (every process computes the identical replicated solve — no
+    collectives, no halo padding); -1 = the measured default
+    (SHARD_MIN_KNOTS_DEFAULT).  0 shards everything (the pre-policy
+    behavior, kept for the overhead benchmarks).
     """
     n_arc = mesh.shape["arc"]
+    if shard_min_knots < 0:
+        shard_min_knots = SHARD_MIN_KNOTS_DEFAULT
+    # one-device submesh for small windows: prefer a device this process
+    # owns (under multi-process gloo, non-addressable devices cannot run
+    # a local replicated solve)
+    try:
+        one_dev = mesh.local_mesh.devices.flat[0]
+    except Exception:
+        import jax
+
+        one_dev = jax.local_devices()[0]
+    mesh_one = Mesh(np.asarray([one_dev]).reshape(1, 1),
+                    axis_names=("orbit", "arc"))
     dtype = cfg.dtype
     jd = jnp.dtype(dtype)
 
@@ -158,20 +188,26 @@ def stream_orbit_sharded(det_rows: np.ndarray, orbit_pos_eci_km: np.ndarray,
     # shapes, but keeping one solver per mode avoids re-tracing the mesh
     solvers: Dict[Tuple, object] = {}
 
-    def get_solver(init_iters: int, with_prior: bool, later: bool):
-        key = (init_iters, with_prior, later)
+    def get_solver(init_iters: int, with_prior: bool, later: bool,
+                   small: bool):
+        key = (init_iters, with_prior, later, small)
         if key not in solvers:
             solvers[key] = sharded_ba.make_sharded_window_solver(
-                mesh, solver_later if later else solver,
+                mesh_one if small else mesh,
+                solver_later if later else solver,
                 num_iters=cfg.num_iters, init_iters=init_iters,
                 with_prior=with_prior)
         return solvers[key]
 
     def pad_sizes(Nw: int, i0: int, i1: int, k0: int):
-        n_pad = _round_up(bucket(Nw, cfg.knot_bucket), n_arc)
+        nb = bucket(Nw, cfg.knot_bucket)
+        # dispatch policy: small windows stay on one device (no arc-axis
+        # rounding needed), large ones shard over the full arc axis
+        small = shard_min_knots > 0 and nb < shard_min_knots
+        n_pad = nb if small else _round_up(nb, n_arc)
         counts = np.bincount(graph.ii[i0:i1] - k0, minlength=1)
         d_pad = _pow2(int(counts.max()) if len(counts) else 1)
-        return n_pad, d_pad
+        return n_pad, d_pad, small
 
     def propagate(last_state, t_init, t_stop):
         span = int(knot_t[t_stop - 1] - knot_t[t_init - 1])
@@ -251,7 +287,7 @@ def stream_orbit_sharded(det_rows: np.ndarray, orbit_pos_eci_km: np.ndarray,
 
         i0 = i_prev if (w > 0 and bounded and marg_info is not None) else 0
         Nw = t_final - k0
-        n_pad, d_pad = pad_sizes(Nw, i0, i_final, k0)
+        n_pad, d_pad, small = pad_sizes(Nw, i0, i_final, k0)
 
         prob = _build_window_problem(
             window_states, gaps[k0:t_final], cum_rot[k0:t_final],
@@ -284,7 +320,7 @@ def stream_orbit_sharded(det_rows: np.ndarray, orbit_pos_eci_km: np.ndarray,
             )
 
         solve = get_solver(init_iters, use_prior,
-                           later=(w > 0 and not bounded))
+                           later=(w > 0 and not bounded), small=small)
         lam0 = jnp.full((1,), cfg.lambda_init, jd)
         if use_prior:
             out_b, _, _ = solve(lam0, prob, prior)
