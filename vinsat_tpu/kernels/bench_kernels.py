@@ -177,14 +177,13 @@ def bench_tridiag(sizes=(256, 1024, 4096), k=9, R=32, repeats=3):
                 variants[f"chunked_bcrred_m{m}"] = (
                     lambda D, U, b, m=m: ba.block_tridiag_solve_chunked(
                         D, U, b, D.shape[0] // m, reduced="bcr"))
-        if os.environ.get("VINSAT_BENCH_PALLAS_TRIDIAG") == "1":
-            # experimental: Mosaic tiles each (t, 9, 9) block to a full
-            # (16, 128) vector tile (25x VMEM inflation) — OOMs above
-            # N~128; kept for re-evaluation on future toolchains
-            from vinsat_tpu.kernels.tridiag_pallas import (
-                block_tridiag_solve_pallas)
+        # single-kernel PCR: batch-on-lanes layout, all levels VMEM-resident
+        # (kernels/tridiag_pallas.py; the round-3 (t,9,9) CR layout it
+        # replaces is documented in docs/PALLAS_TRIDIAG_NOTES.md)
+        from vinsat_tpu.kernels.tridiag_pallas import (
+            block_tridiag_solve_pallas)
 
-            variants["pallas_bcr"] = block_tridiag_solve_pallas
+        variants["pallas_pcr"] = block_tridiag_solve_pallas
         for name, fn in variants.items():
             f = jax.jit(fn)
             x = np.asarray(f(D, U, b))
