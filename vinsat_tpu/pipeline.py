@@ -251,25 +251,37 @@ def simulate_sequence_imagery(seed: int, duration_s: int = 600,
             clusters.append([k])
     srv = RasterImageServer()
     region_boxes = []
-    for ci, cl in enumerate(clusters):
-        cl = np.array(cl)
-        lon0, lon1 = lon[cl].min() - 1.0, lon[cl].max() + 1.0
-        lat0, lat1 = lat[cl].min() - 1.0, lat[cl].max() + 1.0
-        # quantize raster shapes (render jits once per unique shape)
-        W = int(np.ceil((lon1 - lon0) / deg_per_px / 256) * 256)
-        H = int(np.ceil((lat1 - lat0) / deg_per_px / 256) * 256)
-        t = Affine(deg_per_px, 0.0, lon0, 0.0, -deg_per_px, lat1)
-        cols, rows_px = t.world_to_pixel(lon, lat)
-        # classes outside this raster fall outside the image => not drawn
-        img = imagery.render_region_image(
-            jax.random.fold_in(k_img, ci), H, W, templates,
-            jnp.asarray(np.stack([cols, rows_px], 1)), amplitude=amplitude,
-        )
-        img8 = np.asarray(jnp.clip(
-            (img - img.min()) / (img.max() - img.min()) * 255, 0, 255
-        )).astype(np.uint8)[..., None].repeat(3, -1)
-        srv.register(f"R{ci}", img8, t)
-        region_boxes.append((f"R{ci}", lon0, lat0, lon1, lat1))
+    # rasters are consumed HOST-side (C++ window crops): render on the CPU
+    # backend when available so a remote accelerator never pays render
+    # compiles/dispatches/image downloads over the tunnel (measured: the
+    # TPU imagery wall was render-dominated, docs/BENCHMARKS.md round 4)
+    import contextlib
+
+    render_ctx = (jax.default_device(cpu0) if cpu0 is not None
+                  else contextlib.nullcontext())
+    with render_ctx:
+        tmpl_render = jnp.asarray(np.asarray(templates))
+        pending = []
+        for ci, cl in enumerate(clusters):
+            cl = np.array(cl)
+            lon0, lon1 = lon[cl].min() - 1.0, lon[cl].max() + 1.0
+            lat0, lat1 = lat[cl].min() - 1.0, lat[cl].max() + 1.0
+            # quantize raster shapes (render jits once per unique shape)
+            W = int(np.ceil((lon1 - lon0) / deg_per_px / 256) * 256)
+            H = int(np.ceil((lat1 - lat0) / deg_per_px / 256) * 256)
+            t = Affine(deg_per_px, 0.0, lon0, 0.0, -deg_per_px, lat1)
+            cols, rows_px = t.world_to_pixel(lon, lat)
+            # classes outside this raster fall outside the image: not drawn
+            img8_d = imagery.render_region_u8(
+                jax.random.fold_in(k_img, ci), H, W, tmpl_render,
+                jnp.asarray(np.stack([cols, rows_px], 1)),
+                amplitude=amplitude,
+            )
+            pending.append((ci, t, (lon0, lat0, lon1, lat1), img8_d))
+        for ci, t, box, img8_d in pending:
+            img8 = np.asarray(img8_d)[..., None].repeat(3, -1)
+            srv.register(f"R{ci}", img8, t)
+            region_boxes.append((f"R{ci}",) + box)
 
     cam = cam_mod.CameraModel.from_hfov()
     pos_ecef_m = np.asarray(traj.pos_ecef) * 1000.0
@@ -309,7 +321,8 @@ def simulate_sequence_imagery(seed: int, duration_s: int = 600,
         win, wt = srv.get_window(region, b[0], b[1], b[2], b[3])
         if win is None or min(win.shape[:2]) < 16:
             continue
-        crops.append(win.mean(axis=-1))
+        # channels are replicated grayscale; keep uint8 (4x less upload)
+        crops.append(win[..., 0])
         metas.append((int(fi), i, wt))
     if not crops:
         return SimulatedSequence(np.zeros((0, 6)), np.asarray(traj.pos_eci),
@@ -325,8 +338,13 @@ def simulate_sequence_imagery(seed: int, duration_s: int = 600,
     scores_b = np.zeros((F, K), np.float32)
     rows_b = np.zeros((F, K), np.float32)
     cols_b = np.zeros((F, K), np.float32)
+    # dispatch ALL chunks before fetching any result: jax dispatch is
+    # async, so chunk j+1's upload overlaps chunk j's detection instead of
+    # paying a full tunnel round-trip per chunk (crops stay uint8 on the
+    # wire; the device casts)
+    launched = []
     for j0 in range(0, F, chunk):
-        batch = np.zeros((chunk, Hc, Wc), np.float32)
+        batch = np.zeros((chunk, Hc, Wc), np.uint8)
         for j in range(j0, min(F, j0 + chunk)):
             c = crops[j]
             batch[j - j0, :c.shape[0], :c.shape[1]] = c
@@ -338,6 +356,8 @@ def simulate_sequence_imagery(seed: int, duration_s: int = 600,
 
             s, r, c_ = ld_mod.detect_peaks_batch(detector, batch)
             s, r, c_ = s[:, :K], r[:, :K], c_[:, :K]
+        launched.append((j0, s, r, c_))
+    for j0, s, r, c_ in launched:
         n = min(F, j0 + chunk) - j0
         scores_b[j0:j0 + n] = np.asarray(s)[:n]
         rows_b[j0:j0 + n] = np.asarray(r)[:n]

@@ -61,6 +61,22 @@ def render_region_image(key, H: int, W: int, templates, px_positions,
     return img
 
 
+@functools.partial(jax.jit, static_argnames=("H", "W"))
+def render_region_u8(key, H: int, W: int, templates, px_positions,
+                     noise_sigma: float = 0.15, amplitude: float = 1.0):
+    """render_region_image + min-max normalization to uint8 in ONE jitted
+    program: region rasters are consumed host-side (the C++ window
+    cropper), so the render should cost one dispatch and a uint8 transfer
+    — not render/min/max/scale round-trips of an f32 image.  Run it on the
+    CPU backend when the accelerator is remote (pipeline stage 0): the
+    paste scan is trivial compute and the raster never needs to visit the
+    accelerator."""
+    img = render_region_image(key, H, W, templates, px_positions,
+                              noise_sigma=noise_sigma, amplitude=amplitude)
+    lo, hi = img.min(), img.max()
+    return jnp.clip((img - lo) / (hi - lo) * 255.0, 0, 255).astype(jnp.uint8)
+
+
 class TemplateDetector(NamedTuple):
     """Normalized cross-correlation detector over class templates.
 
@@ -108,6 +124,9 @@ def _correlate_peaks(img, templates):
     """
     K, S, _ = templates.shape
     H, W = img.shape
+    # uint8 crops upload 4x less over a remote-device tunnel; NCC is
+    # invariant to the affine intensity scale, so cast on device
+    img = img.astype(jnp.float32)
     x = img[None, None]  # NCHW
     w = templates[:, None]  # OIHW
     corr = jax.lax.conv_general_dilated(
