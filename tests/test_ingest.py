@@ -28,6 +28,17 @@ def test_build_graph_filler_knots():
     assert list(g.ii) == [0, 0, 1, 4, 5]
 
 
+def test_build_graph_empty_rows():
+    """Zero detections -> zero knots, zero obs — both paths must agree with
+    vt_build_graph's m==0 contract (regression: the numpy fallback crashed
+    on det_times.min() of an empty array)."""
+    for use_native in (False, True):
+        g = ingest.build_graph(np.zeros((0, 6)), orbit_len=10800,
+                               use_native=use_native)
+        assert len(g.ii) == 0
+        assert len(g.time_idx) == 0
+
+
 def test_build_graph_detection_on_stride():
     """A detection exactly at a stride multiple consumes the filler slot."""
     g = ingest.build_graph(rows_from([500, 2000, 2100]), orbit_len=3500)

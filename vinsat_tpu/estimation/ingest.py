@@ -42,12 +42,19 @@ def build_graph(det_rows: np.ndarray, orbit_len: int,
     after detections out to the orbit length.
     """
     det_rows = np.asarray(det_rows, dtype=np.float64)
+    if det_rows.size == 0:
+        det_rows = det_rows.reshape(0, 6)
     order = np.argsort(det_rows[:, 0], kind="stable")
     det_rows = det_rows[order]
     frame = det_rows[:, 0]
     uv = det_rows[:, 3:5]
     lonlat = det_rows[:, 1:3]
     conf = det_rows[:, 5]
+    if len(frame) == 0:
+        # no detections: no knots at all (matches vt_build_graph's m==0)
+        return DetectionGraph(frame=frame, uv=uv, lonlat=lonlat, conf=conf,
+                              time_idx=np.zeros(0, np.int64),
+                              ii=np.zeros(0, np.int64))
 
     # native C++ fast path (vinsat_tpu/native); numpy fallback below —
     # cross-checked in tests/test_native.py
