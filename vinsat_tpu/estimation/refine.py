@@ -35,7 +35,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from vinsat_tpu.core import dynamics
+from vinsat_tpu.core import dynamics, quat
 from vinsat_tpu.estimation import factors
 
 
@@ -43,6 +43,12 @@ class ShootingResult(NamedTuple):
     states_pv: jnp.ndarray  # (N, 6) refined [pos, vel] at every knot
     residual: jnp.ndarray  # final mean |r| (px)
     residual0: jnp.ndarray  # initial mean |r| (px) at the warm start
+
+
+class RigidShootingResult(NamedTuple):
+    states: jnp.ndarray  # (N, 10) refined [pos, quat, vel] at every knot
+    residual: jnp.ndarray  # final mean |r| (px) of the rigid fit
+    residual_in: jnp.ndarray  # mean |r| of the INPUT states (guard baseline)
 
 
 def _rollout_with_sensitivity(x0, gaps, num_hops: int, max_substep: float):
@@ -133,6 +139,110 @@ def shooting_refine(states, gaps, lm_xyz, uv, conf, ii, obs_valid,
     return ShootingResult(states_pv=xs,
                           residual=jnp.minimum(res_last, best_res),
                           residual0=res0)
+
+
+@functools.partial(jax.jit, static_argnames=("num_hops", "max_substep",
+                                             "num_iters"))
+def shooting_refine_rigid(states, gaps, cum_rot, lm_xyz, uv, conf, ii,
+                          obs_valid, intrinsics, num_hops: int = 16,
+                          max_substep: float = 100.0, num_iters: int = 24,
+                          att_sigma: float = 1e-2):
+    """9-dof shooting fit on the RIGID attitude chain: x0 = [pos, vel] (6)
+    plus ONE initial-attitude correction delta (3).
+
+    The angular-rate sequence is known (the same IMU integration the
+    dynamics factor uses), so the physically admissible attitudes form a
+    3-dof family  q_i(delta) = (q_0 ⊞ delta) ⊗ C_i  with C_i the prefix
+    product of the per-gap cumulative rotations.  The streaming solution's
+    per-knot attitudes wiggle around this chain with the pixel noise
+    (measured ~8e-4 rad), and fixing them in the 6-dof shooting fit turns
+    that noise into a reprojection BIAS of ~f·dtheta ≈ 3 px that the fit
+    absorbs into pos/vel — the dominant weak-tail error (measured on the
+    16-orbit eval: seed 13 fixed-att fit 147 km vs 8.4 km CRLB; this fit
+    14.7 km.  docs/BENCHMARKS.md "rigid-chain refinement").
+
+    Perturbation transport: (q0 ⊗ exp(d)) ⊗ C_i = q_i ⊞ (R(C_i)^T d), so
+    the reprojection attitude Jacobian chains with R(C_i)^T.  delta
+    carries a weak prior (att_sigma, rad) that keeps the extra 3 dof
+    conditioned when a window barely observes attitude.
+
+    Returns the refined FULL states (pos/quat/vel; quats are the corrected
+    rigid chain), the fit residual, and the residual of the INPUT states —
+    the rigid fit has fewer dof than per-knot streaming attitudes so its
+    converged residual sits slightly ABOVE the input's (it cannot fit the
+    attitude noise); acceptance is a ratio test, not an improvement test.
+    """
+    dtype = states.dtype
+    N = states.shape[0]
+    x0_init = jnp.concatenate([states[0, :3], states[0, 7:10]])
+    w = conf * obs_valid
+    inv_s2 = jnp.asarray(1.0 / (att_sigma ** 2), dtype)
+
+    # prefix chain C_i: C_0 = I, C_{i+1} = C_i ⊗ c_i (associative_scan)
+    ident = jnp.zeros((1, 4), dtype).at[0, 3].set(1.0)
+    C = jax.lax.associative_scan(
+        quat.multiply, jnp.concatenate([ident, cum_rot[:-1]], axis=0))
+    Rt = jnp.swapaxes(quat.to_matrix(C), -1, -2)  # R(C_i)^T (N, 3, 3)
+    q_chain = quat.normalize(quat.multiply(
+        jnp.broadcast_to(states[0, 3:7], (N, 4)), C))
+
+    def residuals(x0, delta):
+        xs, Phis = _rollout_with_sensitivity(x0, gaps[:-1], num_hops,
+                                             max_substep)
+        eps = jnp.einsum("nij,j->ni", Rt, delta)
+        q = quat.box_plus(q_chain, eps)
+        st10 = jnp.concatenate([xs[:, :3], q, xs[:, 3:]], axis=-1)
+        rp = factors.reprojection_factor(st10, lm_xyz, ii, intrinsics)
+        r = (uv - rp.uv) * obs_valid[:, None]
+        Jx = jnp.einsum("mij,mjk->mik", rp.J[:, :, 0:3],
+                        Phis[ii][:, 0:3, :])
+        Jd = jnp.einsum("mij,mjk->mik", rp.J[:, :, 3:6], Rt[ii])
+        return r, jnp.concatenate([Jx, Jd], axis=-1), st10
+
+    def obj(r, delta):
+        return 0.5 * ((r ** 2) * w[:, None]).sum() \
+            + 0.5 * inv_s2 * (delta ** 2).sum()
+
+    def mean_abs(r):
+        return (jnp.abs(r) * w[:, None]).sum() / jnp.maximum(
+            2.0 * w.sum(), 1.0)
+
+    def gn_step(carry, _):
+        th, lam, bth, bobj = carry
+        r, J, _ = residuals(th[:6], th[6:])
+        f = obj(r, th[6:])
+        take = f < bobj
+        bth = jnp.where(take, th, bth)
+        bobj = jnp.where(take, f, bobj)
+        JW = J * w[:, None, None]
+        H = jnp.einsum("mki,mkj->ij", JW, J)
+        H = H.at[6:, 6:].add(inv_s2 * jnp.eye(3, dtype=dtype))
+        g = jnp.einsum("mki,mk->i", JW, r)
+        g = g.at[6:].add(-inv_s2 * th[6:])
+        s = 1.0 / jnp.sqrt(jnp.maximum(jnp.diagonal(H), 1e-30))
+        Hs = H * s[:, None] * s[None, :] + lam * jnp.eye(9, dtype=dtype)
+        dth = s * jnp.linalg.solve(Hs, s * g)
+        thn = th + dth
+        r1, _, _ = residuals(thn[:6], thn[6:])
+        acc = obj(r1, thn[6:]) < f
+        th = jnp.where(acc, thn, th)
+        lam = jnp.where(acc, jnp.maximum(lam * 0.3, 1e-12), lam * 10.0)
+        return (th, lam, bth, bobj), f
+
+    # guard baseline: the INPUT states' residual (streaming attitudes)
+    rp_in = factors.reprojection_factor(states, lm_xyz, ii, intrinsics)
+    res_in = mean_abs((uv - rp_in.uv) * obs_valid[:, None])
+
+    th0 = jnp.concatenate([x0_init, jnp.zeros(3, dtype)])
+    r0, _, _ = residuals(th0[:6], th0[6:])
+    carry0 = (th0, jnp.asarray(1e-8, dtype), th0, obj(r0, th0[6:]))
+    (th, _, bth, bobj), _ = jax.lax.scan(gn_step, carry0, None,
+                                         length=num_iters)
+    r_l, _, _ = residuals(th[:6], th[6:])
+    th = jnp.where(obj(r_l, th[6:]) <= bobj, th, bth)
+    r, _, st10 = residuals(th[:6], th[6:])
+    return RigidShootingResult(states=st10, residual=mean_abs(r),
+                               residual_in=res_in)
 
 
 @functools.partial(jax.jit, static_argnames=("num_hops", "max_substep",

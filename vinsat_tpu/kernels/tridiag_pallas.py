@@ -5,13 +5,12 @@ the deep block-cyclic-reduction graph at 36-142 ms for N=2048-4096 while
 every constituent batched op measures < 0.25 ms — a composition pathology
 (fusion boundaries + HBM round-trips between the ~2·log2(N) levels), not a
 compute limit.  The entire problem is TINY by VMEM standards
-(N=2048: D+L+U+b < 3 MB « 16 MB), so one kernel keeps everything VMEM-
+(N=4096: D+L+U+b < 6 MB « 16 MB), so one kernel keeps everything VMEM-
 resident across all levels: zero HBM traffic between levels, zero per-level
 dispatch.
 
-Two layout lessons shaped this kernel (the first attempt — classic cyclic
-reduction on (t, 9, 9) block arrays — is retired in
-docs/PALLAS_TRIDIAG_NOTES.md):
+Three layout/lifetime lessons shaped this kernel (the first two attempts
+are retired in docs/PALLAS_TRIDIAG_NOTES.md):
 
   * batch on LANES: arrays are (k, k, n) with the block index on the
     128-lane axis, so a 9x9-block op is 81 unrolled (1, n)-plane FMAs at
@@ -24,6 +23,13 @@ docs/PALLAS_TRIDIAG_NOTES.md):
     relayouts, which is exactly where the first attempt died.  PCR does
     O(n log n) work vs CR's O(n), but the work is dense VPU FMAs on
     VMEM-resident data — latency, not flops, is what the XLA path loses.
+  * mutate SCRATCH REFS in place: the functional level body (fresh
+    D/L/U/b arrays per level, fresh matrices per Gauss-Jordan pivot step)
+    blew the 16 MB scoped-VMEM limit once unrolled (38 MB live at n=2048,
+    20 MB for even a single level per call) — Mosaic allocates the
+    unrolled graph's liveness, it does not reuse functional buffers.
+    Eight fixed scratch buffers + static-index row stores bound live VMEM
+    at ~8 MB for n=4096 INDEPENDENT of level count.
 
 Algorithm (symmetric block tridiagonal, blocks k=9): at level s each row i
 holds  L_i x_{i-s} + D_i x_i + U_i x_{i+s} = b_i.  One batched Gauss-Jordan
@@ -52,36 +58,6 @@ from jax.experimental.pallas import tpu as pltpu
 # batch-on-lanes block algebra: arrays (k, k, n) / (k, n), block index on
 # the last (lane) axis; k=9 loops are static unrolls of (1, n) plane ops
 # ---------------------------------------------------------------------------
-
-def _set_row(A, i: int, row):
-    """A with leading-axis plane i replaced by `row` (static index; stack of
-    unrolled planes — no scatter, no iota select)."""
-    planes = [A[j] for j in range(A.shape[0])]
-    planes[i] = row
-    return jnp.stack(planes, axis=0)
-
-
-def _gj_lanes(A, Bs):
-    """Pivot-free Gauss-Jordan solve A X = B batched over lanes.
-
-    A (k, k, n); Bs a list of (k, r, n).  Same elimination order as
-    ba.gj_solve_small (the Jacobi-scaled SPD blocks keep diagonal pivots
-    bounded, so no pivoting — bit-compatible elimination).
-    """
-    k = A.shape[0]
-    for i in range(k):
-        piv = A[i, i]                      # (n,)
-        rowA = A[i] / piv[None]            # (k, n)
-        colA = A[:, i, :]                  # (k, n)
-        A = _set_row(A - colA[:, None, :] * rowA[None, :, :], i, rowA)
-        new_Bs = []
-        for B in Bs:
-            rowB = B[i] / piv[None]        # (r, n)
-            new_Bs.append(_set_row(B - colA[:, None, :] * rowB[None, :, :],
-                                   i, rowB))
-        Bs = new_Bs
-    return Bs
-
 
 def _bmm_lanes(A, B):
     """Block product over lanes: C[i, c] = sum_j A[i, j] B[j, c]."""
@@ -118,25 +94,63 @@ def _transpose_blocks(A):
     return jnp.stack([A[:, j, :] for j in range(A.shape[1])], axis=0)
 
 
-def _pcr_body(D, U, b, n: int, k: int):
-    """All PCR levels on VMEM-resident (k, k, n)/(k, n) values -> x (k, n)."""
+def _gj_refs(A, Ms, vs):
+    """Pivot-free Gauss-Jordan, IN PLACE on scratch refs.
+
+    A (k, k, n) is destroyed; each M in Ms (k, k, n) and v in vs (k, n)
+    becomes A0^{-1} M / A0^{-1} v (A0 = A's value on entry).  Same
+    elimination order as ba.gj_solve_small (the Jacobi-scaled SPD blocks
+    keep diagonal pivots bounded, so no pivoting — bit-compatible
+    elimination).  Static-index row loads/stores only; live temporaries
+    are a handful of (k, n) planes regardless of k's unroll.
+    """
+    k = A.shape[0]
+    for i in range(k):
+        rowA_raw = A[i]                    # (k, n)
+        piv = rowA_raw[i]                  # (n,)
+        rowA = rowA_raw / piv[None]
+        colA = A[:, i, :]                  # (k, n), read before overwrite
+        for M in Ms:
+            rowM = M[i] / piv[None]
+            M[:] = M[:] - colA[:, None, :] * rowM[None]
+            M[i] = rowM
+        for v in vs:
+            rowv = v[i] / piv
+            v[:] = v[:] - colA * rowv[None]
+            v[i] = rowv
+        A[:] = A[:] - colA[:, None, :] * rowA[None]
+        A[i] = rowA
+
+
+def _kernel(D_ref, U_ref, b_ref, x_ref, wD, wU, wL, wb, sA, sL, sU, sb, *,
+            n: int, k: int):
+    """All PCR levels in one kernel on eight VMEM scratch buffers.
+
+    w* hold the current level's system; s* hold the Gauss-Jordan products
+    D^{-1}[L, U, b] (recomputed into the same buffers every level).
+    """
+    wD[:] = D_ref[:]
+    wU[:] = U_ref[:]
+    wb[:] = b_ref[:]
     # lower couplings from symmetry: L_i = U_{i-1}^T
-    L = _transpose_blocks(_sr(U, 1))
+    wL[:] = _transpose_blocks(_sr(U_ref[:], 1))
     s = 1
     while s < n:
-        DinvL, DinvU, Dinvb1 = _gj_lanes(D, [L, U, b[:, None, :]])
-        Dinvb = Dinvb1[:, 0, :]
-        D = (D - _bmm_lanes(L, _sr(DinvU, s)) - _bmm_lanes(U, _sl(DinvL, s)))
-        b = (b - _bmv_lanes(L, _sr(Dinvb, s)) - _bmv_lanes(U, _sl(Dinvb, s)))
-        L = -_bmm_lanes(L, _sr(DinvL, s))
-        U = -_bmm_lanes(U, _sl(DinvU, s))
+        sA[:] = wD[:]
+        sL[:] = wL[:]
+        sU[:] = wU[:]
+        sb[:] = wb[:]
+        _gj_refs(sA, [sL, sU], [sb])  # sL/sU/sb <- D^{-1} [L, U, b]
+        wD[:] = (wD[:] - _bmm_lanes(wL[:], _sr(sU[:], s))
+                 - _bmm_lanes(wU[:], _sl(sL[:], s)))
+        wb[:] = (wb[:] - _bmv_lanes(wL[:], _sr(sb[:], s))
+                 - _bmv_lanes(wU[:], _sl(sb[:], s)))
+        wL[:] = -_bmm_lanes(wL[:], _sr(sL[:], s))
+        wU[:] = -_bmm_lanes(wU[:], _sl(sU[:], s))
         s *= 2
-    (x1,) = _gj_lanes(D, [b[:, None, :]])
-    return x1[:, 0, :]
-
-
-def _kernel(D_ref, U_ref, b_ref, x_ref, *, n: int, k: int):
-    x_ref[:] = _pcr_body(D_ref[:], U_ref[:], b_ref[:], n, k)
+    # decoupled back-solve x_i = D_i^{-1} b_i
+    _gj_refs(wD, [], [wb])
+    x_ref[:] = wb[:]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -159,11 +173,14 @@ def block_tridiag_solve_pallas(D, U, b, interpret: bool = False):
     Ul = jnp.moveaxis(Up, 0, -1)
     bl = jnp.moveaxis(bp, 0, -1)   # (k, n)
 
+    mat = pltpu.VMEM((k, k, n), D.dtype)
+    vec = pltpu.VMEM((k, n), D.dtype)
     x = pl.pallas_call(
         functools.partial(_kernel, n=n, k=k),
         out_shape=jax.ShapeDtypeStruct((k, n), D.dtype),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[mat, mat, mat, vec, mat, mat, mat, vec],
         interpret=interpret,
     )(Dl, Ul, bl)
     return jnp.moveaxis(x, -1, 0)[:N]
