@@ -256,17 +256,42 @@ def main():
                                                     sq.det_rows)
                     eff = _crlb.efficiency(cb["crlb_final_km"],
                                            float(r.errors[-1]))
-                    per_orbit.append({
+                    row = {
                         "seed": s, "n_dets": len(sq.det_rows),
                         "min_err_km": round(float(r.errors.min()), 3),
                         "final_err_km": round(float(r.errors[-1]), 3),
                         "crlb_final_km": round(cb["crlb_final_km"], 3),
                         "efficiency": round(eff, 3),
                         "obs_span_s": cb["obs_span_s"],
-                    })
+                        "recovery_trips": int(r.recovery_trips),
+                    }
+                    # bias column (VERDICT r4 #7): for orbits far off their
+                    # information bound, re-run the SAME stream in f64 on
+                    # the CPU backend — final_f64_km separates estimator
+                    # tail bias (f64 ~ f32, both >> CRLB) from precision
+                    # loss (f64 << f32)
+                    if on_tpu and eff < 0.3:
+                        try:
+                            cpu0 = jax.local_devices(backend="cpu")[0]
+                            cfg64 = cfg._replace(dtype="float64")
+                            with jax.enable_x64(True), \
+                                    jax.default_device(cpu0):
+                                r64 = pipeline.run_streaming(sq, seed=s,
+                                                             cfg=cfg64)
+                            if len(r64.errors):
+                                row["final_f64_km"] = round(
+                                    float(r64.errors[-1]), 3)
+                        except Exception as e:  # noqa: BLE001
+                            log(f"{name} orbit {s}: f64 cross-check "
+                                f"failed: {e!r}")
+                    per_orbit.append(row)
                     log(f"{name} orbit {s}: min {r.errors.min():.2f} km "
                         f"final {r.errors[-1]:.2f} km "
-                        f"crlb {cb['crlb_final_km']:.2f} km eff {eff:.2f}")
+                        f"crlb {cb['crlb_final_km']:.2f} km eff {eff:.2f}"
+                        + (f" f64 {row['final_f64_km']:.2f}"
+                           if "final_f64_km" in row else "")
+                        + (f" trips {r.recovery_trips}"
+                           if r.recovery_trips else ""))
             summary = _ate.summarize(ev_errors, ev_times)
             extra[name] = {k: (round(v, 3) if isinstance(v, float) else v)
                            for k, v in summary.items()}

@@ -6,8 +6,11 @@ single-iteration pin of test_sharded_ba to the BA_reg prior path; the
 end-to-end test runs a REAL simulated sequence through both streaming
 drivers and requires final-error agreement — not just the 5 km target.
 """
+import os
+
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from vinsat_tpu import pipeline
 from vinsat_tpu.dist import mesh as mesh_mod
@@ -159,6 +162,46 @@ def test_sharded_stream_marginalized_converges():
     e_s, e_d = res_single.errors[-1], res_shard.errors[-1]
     assert e_d < 5.0, e_d
     assert abs(e_d - e_s) < max(0.25 * max(e_s, 1.0), 0.25), (e_s, e_d)
+
+
+_REF_CSV_DIR = "/root/reference/sim/landmark_csvs"
+
+
+@pytest.mark.skipif(not os.path.isdir(_REF_CSV_DIR),
+                    reason="reference landmark CSVs not present")
+def test_sharded_stream_real_db_parity():
+    """Real-CSV landmark geometry through the DISTRIBUTED streaming driver
+    (VERDICT r4 #8): the last never-exercised combination — real data x
+    sharded path.  The clustered real-DB detection geometry is exactly
+    what made window-0 inits marginal on the accelerator, so the parity
+    requirement (final ATE match vs single-chip) runs on it directly."""
+    from vinsat_tpu.sim import landmarks as lm_mod
+
+    db = lm_mod.load_reference_db(_REF_CSV_DIR)
+    seq = None
+    for seed in (0, 1, 3, 4, 8):
+        s = pipeline.simulate_sequence(seed, duration_s=3600,
+                                       frame_stride=10, db=db)
+        if len(s.det_rows) >= 40:
+            seq, used_seed = s, seed
+            break
+    assert seq is not None, "no real-DB seed yielded detections"
+
+    cfg = window.StreamingConfig(max_iters=30)
+    res_single = window.stream_orbit(seq.det_rows, seq.orbit_pos_eci_km,
+                                     seed=used_seed, cfg=cfg, fast=False)
+    mesh = mesh_mod.make_mesh(n_orbit=1, n_arc=4)
+    res_shard = dist_stream.stream_orbit_sharded(
+        seq.det_rows, seq.orbit_pos_eci_km, mesh, seed=used_seed, cfg=cfg,
+        shard_min_knots=0)
+
+    assert len(res_shard.errors) == len(res_single.errors)
+    np.testing.assert_array_equal(res_shard.times, res_single.times)
+    e_s, e_d = res_single.errors[-1], res_shard.errors[-1]
+    assert abs(e_d - e_s) < max(0.05 * max(e_s, 1.0), 0.05), (e_s, e_d)
+    d = np.linalg.norm(res_shard.final_states[:, :3]
+                       - res_single.final_states[:, :3], axis=-1)
+    assert np.median(d) < 0.1, np.median(d)
 
 
 def test_small_window_dispatch_policy():

@@ -68,6 +68,63 @@ def test_shooting_no_regression_on_good_start(rng):
     assert err < 0.05, err
 
 
+def test_rigid_shooting_recovers_initial_attitude_error(rng):
+    """shooting_refine_rigid (the 9-dof rigid-chain fit): per-knot attitude
+    NOISE plus a common initial-attitude error — the exact configuration
+    where the 6-dof fixed-attitude fit absorbs the attitude error into
+    pos/vel as a tail bias.  The rigid fit must (a) beat the 6-dof fit's
+    terminal error, (b) land near GT, and (c) pass the documented ratio-
+    test acceptance so the production selection policy
+    (refine_states_device_full) actually picks it."""
+    states_gt, gaps, lm, uv, conf, ii = _make_case(rng, n_knots=24)
+    N = states_gt.shape[0]
+    q_gt = states_gt[:, 3:7]
+    # exact rigid chain of the GT attitudes: c_i = q_i^{-1} (x) q_{i+1}
+    cum = np.asarray(quat.multiply(jnp.asarray(quat.conjugate(
+        jnp.asarray(q_gt[:-1]))), jnp.asarray(q_gt[1:])))
+    cum = np.concatenate([cum, [[0.0, 0, 0, 1]]], axis=0)
+
+    warm = states_gt.copy()
+    warm[:, :3] += rng.normal(size=(N, 3)) * 0.5
+    warm[:, 7:10] += rng.normal(size=(N, 3)) * 1e-3 + 2e-3
+    # streaming-like attitude wiggle + a COMMON initial-attitude error
+    # carried through the whole chain (what a mis-pinned window-0 attitude
+    # looks like after rotation propagation)
+    delta0 = rng.normal(size=3) * 3e-3
+    noise = rng.normal(size=(N, 3)) * 8e-4
+    warm[:, 3:7] = np.asarray(quat.box_plus(
+        jnp.asarray(q_gt), jnp.asarray(noise + delta0)))
+
+    ov = jnp.ones(len(ii))
+    out9 = refine.shooting_refine_rigid(
+        jnp.asarray(warm), jnp.asarray(gaps), jnp.asarray(cum),
+        jnp.asarray(lm), jnp.asarray(uv), jnp.asarray(conf),
+        jnp.asarray(ii, jnp.int32), ov, INTR, num_hops=3)
+    out6 = refine.shooting_refine(
+        jnp.asarray(warm), jnp.asarray(gaps), jnp.asarray(lm),
+        jnp.asarray(uv), jnp.asarray(conf), jnp.asarray(ii, jnp.int32),
+        ov, INTR, num_hops=3)
+    err9 = np.linalg.norm(np.asarray(out9.states)[-1, :3]
+                          - states_gt[-1, :3])
+    err6 = np.linalg.norm(np.asarray(out6.states_pv)[-1, :3]
+                          - states_gt[-1, :3])
+    # measured on this geometry: err9 0.23 km vs err6 1.67 km (the 6-dof
+    # fit absorbs the 3e-3 rad initial-attitude error into pos/vel)
+    assert err9 < 0.35, (err9, err6)
+    assert err9 < err6 / 3, (err9, err6)
+    # ratio-test acceptance: the rigid fit's residual sits within the
+    # documented margin of the input states' residual
+    assert float(out9.residual) <= 1.3 * float(out9.residual_in), (
+        float(out9.residual), float(out9.residual_in))
+
+    # the production policy picks the rigid result
+    full = refine.refine_states_device_full(
+        jnp.asarray(warm), jnp.asarray(gaps), jnp.asarray(cum),
+        jnp.asarray(lm), jnp.asarray(uv), jnp.asarray(conf),
+        jnp.asarray(ii, jnp.int32), ov, INTR, num_hops=3)
+    np.testing.assert_allclose(np.asarray(full), np.asarray(out9.states))
+
+
 def test_streaming_tail_refine_runs():
     """cfg.tail_refine end-to-end through the streaming driver on a gapped
     sequence with an open-loop tail: runs, stays finite, and the tail does

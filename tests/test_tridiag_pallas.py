@@ -36,6 +36,27 @@ def test_pallas_pcr_matches_thomas_interpret(rng):
         assert err < 1e-9, (N, err)
 
 
+def test_pcr_variant_on_dispatch_path(rng):
+    """THROUGH the production entry point: jacobi_scaled_tridiag_solve with
+    variant="pcr" (the branch the TPU f32 auto dispatch selects at
+    64 <= N <= 1024) must match the Thomas variant.  Off-TPU the same
+    branch runs the kernel in interpret mode, so this exercises the exact
+    dispatch code path the solver takes in production."""
+    for N in (64, 130, 257):
+        D, U, b = _problem(rng, N)
+        scale = 10.0 ** rng.uniform(-3, 3, size=(N, 9))
+        D = D * scale[:, :, None] * scale[:, None, :]
+        U = U * scale[:-1, :, None] * scale[1:, None, :]
+        b = b * scale
+        want = np.asarray(ba.jacobi_scaled_tridiag_solve(
+            jnp.asarray(D), jnp.asarray(U), jnp.asarray(b),
+            variant="thomas"))
+        got = np.asarray(ba.jacobi_scaled_tridiag_solve(
+            jnp.asarray(D), jnp.asarray(U), jnp.asarray(b), variant="pcr"))
+        err = np.abs(got - want).max() / np.abs(want).max()
+        assert err < 1e-9, (N, err)
+
+
 def test_pallas_pcr_jacobi_scaled_interpret(rng):
     """Through the production conditioning: Jacobi-scale the ill-conditioned
     normal-equation-like blocks (1e6 span) then PCR-solve — matches the

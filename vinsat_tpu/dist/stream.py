@@ -33,7 +33,9 @@ from jax.sharding import Mesh
 
 from vinsat_tpu.estimation import ba, ingest
 from vinsat_tpu.estimation.window import (StreamingConfig, StreamingResult,
-                                          _marginal_info_jit, bucket,
+                                          _marginal_info_jit,
+                                          _multi_pass_window, _pad_prob,
+                                          _window0_init_f64_cpu, bucket,
                                           prepare_stream, propagate_segment)
 from vinsat_tpu.dist import sharded_ba
 
@@ -297,6 +299,30 @@ def stream_orbit_sharded(det_rows: np.ndarray, orbit_pos_eci_km: np.ndarray,
         )
 
         init_iters = cfg.init_iters if w == 0 else 0
+        if w == 0 and cfg.window0_init_f64:
+            # proactive window-0 basin hardening, identical to the single-
+            # chip driver (window.py StreamingConfig.window0_init_f64):
+            # the init phase re-runs in f64 on the host CPU and the mesh
+            # solve warm-starts from it (no-op on f64 streams)
+            m_pad = bucket(max(i_final, 1), cfg.obs_bucket, cfg.obs_bucket)
+            flat = _pad_prob(t_final, gaps[:t_final], cum_rot[:t_final],
+                             gt.landmarks_xyz[:i_final], graph.uv[:i_final],
+                             graph.conf[:i_final], graph.ii[:i_final],
+                             n_pad, m_pad, dtype, intrinsics=intr_np)
+            st_np = np.zeros((n_pad, 10))
+            st_np[:, 6] = 1.0
+            st_np[:t_final] = window_states
+            o64 = _window0_init_f64_cpu(jnp.asarray(st_np, jd), flat,
+                                        cfg.lambda_init, init_iters, solver)
+            if o64 is not None:
+                window_states = o64[:t_final]
+                init_iters = 0
+                prob = _build_window_problem(
+                    window_states, gaps[k0:t_final], cum_rot[k0:t_final],
+                    gt.landmarks_xyz[i0:i_final], graph.uv[i0:i_final],
+                    graph.conf[i0:i_final], graph.ii[i0:i_final] - k0,
+                    n_pad, d_pad, intr_np, dtype,
+                )
         use_prior = bounded and w > 0 and marg_info is not None
         prior = None
         if use_prior:
@@ -319,8 +345,11 @@ def stream_orbit_sharded(det_rows: np.ndarray, orbit_pos_eci_km: np.ndarray,
                 valid=jnp.asarray(val, jd)[None],
             )
 
-        solve = get_solver(init_iters, use_prior,
-                           later=(w > 0 and not bounded), small=small)
+        # observability-gated reduced budget, identical rule to the
+        # single-chip driver (window._multi_pass_window)
+        later = (not bounded and w > 0
+                 and _multi_pass_window(knot_t[graph.ii[:i_final]], cfg))
+        solve = get_solver(init_iters, use_prior, later=later, small=small)
         lam0 = jnp.full((1,), cfg.lambda_init, jd)
         if use_prior:
             out_b, _, _ = solve(lam0, prob, prior)
@@ -358,6 +387,22 @@ def stream_orbit_sharded(det_rows: np.ndarray, orbit_pos_eci_km: np.ndarray,
         times.append(knot_t[t_final - 1:t_final])
 
         if seq_end and t_final < len(knot_t):
+            if cfg.tail_refine:
+                # terminal refinement before the open-loop tail, identical
+                # to the single-chip record_tail (estimation/refine.py);
+                # runs as a plain single-device program — O(arc) work not
+                # worth a mesh dispatch
+                from vinsat_tpu.estimation import refine
+
+                cur_states = refine.refine_terminal(
+                    cur_states, gaps[:t_final], gt.landmarks_xyz,
+                    graph.uv, graph.conf, graph.ii, intr_np, dtype,
+                    max_substep=solver.max_substep,
+                    cum_rot=(cum_rot[:t_final] if cfg.tail_refine_rigid
+                             else None),
+                    att_sigma=cfg.tail_refine_att_sigma,
+                    ratio=cfg.tail_refine_ratio,
+                )
             states_prop = propagate(cur_states[-1], t_final, len(knot_t))
             errors.append(np.linalg.norm(
                 states_prop[:, :3] - gt.states[t_final:, :3], axis=-1))

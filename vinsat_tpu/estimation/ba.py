@@ -221,7 +221,7 @@ def jacobi_scaled_tridiag_solve(D, U, b, variant: str = "auto"):
     the system to O(1) condition per block: solve (SHS)(S⁻¹x) = Sb.
 
     variant: "auto" dispatches on N (see below); "thomas" / "chunked" /
-    "chunked_bcr" / "bcr1" / "bcr16" force an algorithm
+    "chunked_bcr" / "bcr1" / "bcr16" / "pcr" force an algorithm
     (SolverParams.tridiag_variant).
     """
     diag = jnp.diagonal(D, axis1=-2, axis2=-1)  # (N, k)
@@ -246,14 +246,32 @@ def jacobi_scaled_tridiag_solve(D, U, b, variant: str = "auto"):
     # measures no slower in the full-iteration context, and it keeps the
     # single-chip solve algorithm-identical to the sharded SPIKE path at
     # the sizes test_sharded_ba pins bit-for-bit.
+    #
+    # TPU f32 at 64 <= N <= 1024 takes the single-kernel Pallas PCR solve
+    # (kernels/tridiag_pallas): all ~2·log2(N) reduction levels run VMEM-
+    # resident in ONE kernel, removing the per-level fusion-boundary/HBM
+    # latency the XLA variants pay — v5e D-chained solve times 0.012 ms at
+    # N=256 vs bcr16's 0.17, 0.079 ms at N=1024 vs chunked_bcr's 1.39
+    # (docs/BENCHMARKS.md "Pallas PCR").  f64 streams (CPU, and the
+    # recover_f64 escalation re-solve) keep the XLA crossovers; above
+    # N=1024 the PCR scratch exceeds the 16 MB scoped-VMEM limit.
     if variant == "auto":
-        if 64 <= N < 1024:
+        if 64 <= N <= 1024 and D.dtype == jnp.float32 and _pcr_capable():
+            variant = "pcr"
+        elif 64 <= N < 1024:
             variant = "bcr16"
         elif N >= 1024 and N % 32 == 0:
             variant = "chunked_bcr"
         else:
             variant = "chunked"
-    if variant == "thomas":
+    if variant == "pcr":
+        from vinsat_tpu.kernels.tridiag_pallas import (
+            block_tridiag_solve_pallas)
+
+        # explicit "pcr" off-TPU runs in interpret mode (slow — test path)
+        xs = block_tridiag_solve_pallas(Ds, Us, bs,
+                                        interpret=not _pcr_capable())
+    elif variant == "thomas":
         xs = block_tridiag_solve(Ds, Us, bs)
     elif variant == "chunked":
         xs = block_tridiag_solve_chunked(Ds, Us, bs, _auto_chunks(N))
@@ -267,6 +285,18 @@ def jacobi_scaled_tridiag_solve(D, U, b, variant: str = "auto"):
     else:
         raise ValueError(f"unknown tridiag variant {variant!r}")
     return xs * s
+
+
+def _pcr_capable() -> bool:
+    """True when the default backend Mosaic-compiles the Pallas PCR kernel
+    (TPU).  Evaluated at trace time: the jit trace cache keys on the
+    default-device/backend context, and the one cross-backend hand-off on
+    the hot path (the recover_f64 CPU escalation) re-solves in f64, which
+    the auto dispatch already excludes by dtype."""
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
 
 
 def _bcr_chunks(N: int) -> int:

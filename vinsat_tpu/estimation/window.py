@@ -318,6 +318,12 @@ class StreamingResult(NamedTuple):
     window_infos: Optional[np.ndarray] = None  # (W, 9, 9)
     window_est: Optional[np.ndarray] = None  # (W, 10)
     window_gt: Optional[np.ndarray] = None  # (W, 10)
+    # number of windows whose FIRST solve tripped the recovery ladder
+    # (non-finite states or reprojection RMS above recover_rms_px) —
+    # eval instrumentation for the window-0 hardening (trips should stay
+    # 0 on healthy streams; fast-path streams report the sync re-run's
+    # count when a trip forces one)
+    recovery_trips: int = 0
 
 
 class StreamingConfig(NamedTuple):
@@ -332,18 +338,23 @@ class StreamingConfig(NamedTuple):
     # early stopping returned a 30.4 km iterate).  Cost: ~3x window
     # device time; set 0 for the reference-exact budget.
     max_iters: int = 60
-    # iteration budget for GROWING-PREFIX windows after the first (0 =
-    # same as max_iters).  The run-to-60 budget exists for weakly-
-    # observable SINGLE-pass problems (seed-11 class); growing-prefix
-    # window w contains w+1 detection passes, and with >= 2 passes the
-    # chain's best iterate lands before ~24 iterations — measured on five
-    # 10800 s 7-window arcs (CPU f64): final/min/time-to-5km IDENTICAL to
-    # 3 decimals at 24, 30, and 60, at ~2x less solve time.  Default 30
-    # keeps a 25% margin over the measured need.  Does NOT apply to
-    # bounded/marginalized modes (their later windows are anchor + ONE
-    # pass — exactly the weakly-observable class) or to single-window
-    # streams (window 0 always runs the full budget).
-    max_iters_later: int = 30
+    # iteration budget for well-conditioned later windows (0 = same as
+    # max_iters).  The run-to-60 budget exists for weakly-observable
+    # SINGLE-pass problems (seed-11 class); with >= 2 passes the chain's
+    # best iterate lands before ~24 iterations — measured on five 10800 s
+    # 7-window arcs (CPU f64): final/min/time-to-5km IDENTICAL to 3
+    # decimals at 24, 30, and 60, at ~2x less solve time.  The budget is
+    # OBSERVABILITY-gated (VERDICT r4 #6), not window-index-gated: it
+    # applies only when the solved span's detections form >= 2 passes
+    # spanning >= budget_span_min_s seconds (_multi_pass_window).  Does
+    # NOT apply to bounded/marginalized modes (their later windows are
+    # anchor + ONE pass — exactly the weakly-observable class) or to
+    # single-window streams.
+    max_iters_later: int = 24
+    # minimum detection time-span (s) for the reduced budget: two passes
+    # a few minutes apart constrain velocity barely better than one, so
+    # short-span prefixes keep the full budget
+    budget_span_min_s: float = 1200.0
     lambda_init: float = 1e-4
     noise_pos_km: float = 100.0
     noise_ori_rad: float = 0.2
@@ -417,6 +428,22 @@ class StreamingConfig(NamedTuple):
     # final_states differ.  On the fast path the refinement runs as a
     # device-side program with the accept-guard folded in (no host sync).
     tail_refine: bool = True
+    # RIGID-CHAIN refinement (VERDICT r4 #1, estimation/refine.py
+    # shooting_refine_rigid): fit x0 PLUS one initial-attitude correction
+    # transported through the known angular-rate chain, instead of holding
+    # the noisy per-knot streaming attitudes fixed.  The 6-dof fixed-
+    # attitude fit turns ~8e-4 rad per-knot attitude noise into a ~3 px
+    # reprojection bias absorbed into pos/vel — the dominant weak-tail
+    # error the CRLB columns exposed (seed 13 real-DB: 172 km final vs an
+    # 8.1 km bound; the rigid fit reaches 14.7 km on the captured case).
+    # Accepted by the ratio test below (the rigid chain has fewer dof than
+    # per-knot attitudes, so its residual sits slightly ABOVE the input's
+    # even when excellent); on reject the 6-dof fit / input states apply.
+    tail_refine_rigid: bool = True
+    # prior sigma (rad) on the rigid fit's attitude correction, and the
+    # acceptance ratio vs the input states' reprojection residual
+    tail_refine_att_sigma: float = 1e-2
+    tail_refine_ratio: float = 1.3
     # residual-gated window recovery: a window solve whose gated
     # reprojection RMS exceeds this many PIXELS is treated as failed (the
     # fit quality is observable without GT: healthy windows measure
@@ -433,10 +460,37 @@ class StreamingConfig(NamedTuple):
     # 0 disables the gate (non-finite recovery still applies).
     recover_rms_px: float = 12.0
     recover_f64: bool = True
+    # PROACTIVE window-0 basin hardening (VERDICT r4 #5): before the
+    # device solve of window 0, run its init phase — init_iters
+    # vision-only + 10 full LM iterations — in f64 on the host CPU and
+    # warm-start the f32 device solve from the result (init_iters=0).
+    # Root cause being treated: on clustered real-DB geometry the
+    # vision-only init is MARGINAL, and f32 rounding (TPU) tips 4/16
+    # orbits into a wrong basin that later windows never rescue — the
+    # reactive recovery ladder then pays a full sync re-run + f64
+    # re-solve.  The init phase is the basin CHOICE; running just it in
+    # f64 keeps the per-stream cost to one small CPU solve while the full
+    # budget stays on-device.  No-op on f64 streams and when no CPU
+    # backend is registered.
+    window0_init_f64: bool = True
 
 
 _marginal_info_jit = jax.jit(
     ba.terminal_marginal_info, static_argnames=("params",))
+
+
+def _multi_pass_window(det_t: np.ndarray, cfg: "StreamingConfig") -> bool:
+    """Observability proxy for the reduced iteration budget: True when the
+    solved span's detection times form >= 2 passes (clusters separated by
+    > 200 s — the same gap rule that splits windows, ingest.split_windows /
+    od_pipe.py:898-905) covering >= cfg.budget_span_min_s seconds."""
+    if len(det_t) < 2:
+        return False
+    dt = np.unique(np.asarray(det_t, np.float64))
+    if len(dt) < 2:
+        return False
+    passes = 1 + int((np.diff(dt) > 200.0).sum())
+    return passes >= 2 and float(dt[-1] - dt[0]) >= cfg.budget_span_min_s
 
 
 # cap on the per-observation residual norm entering the recover_rms_px
@@ -533,6 +587,32 @@ def _solve_window_f64_cpu(st0, prob: ba.BAProblem, lamda0, init_iters,
         o, ln, lh, mr = jax.device_get(out)
     return (np.asarray(o, np.float64), float(ln),
             np.asarray(lh, np.float64), float(mr))
+
+
+def _window0_init_f64_cpu(st0, prob: ba.BAProblem, lamda0, init_iters: int,
+                          params: ba.SolverParams):
+    """Window-0 init phase in f64 on the host CPU
+    (StreamingConfig.window0_init_f64): init_iters vision-only + 10 full
+    LM iterations at a FIXED count (max_iters=0, sequential λ), returning
+    the warm-start states as host f64 — or None when the stream is
+    already f64 / no CPU backend exists (nothing to harden with)."""
+    if jnp.dtype(jnp.asarray(st0).dtype) == jnp.dtype(jnp.float64):
+        return None
+    try:
+        cpu0 = jax.local_devices(backend="cpu")[0]
+    except Exception:
+        return None
+    p = params._replace(max_iters=0, batched_lambda=0)
+    st64 = _tree_to_f64(st0)
+    prob64 = _tree_to_f64(prob)
+    with jax.enable_x64(True), jax.default_device(cpu0):
+        out = solve_window(jnp.asarray(st64), prob64,
+                           jnp.asarray(float(lamda0), jnp.float64),
+                           jnp.asarray(int(init_iters)),
+                           int(init_iters) + 10, p)
+        o = jax.device_get(out[0])
+    o = np.asarray(o, np.float64)
+    return o if np.isfinite(o).all() else None
 
 
 def _pad_prob(n: int, gaps, cum_rot, lm_xyz, lm_uv, conf, ii,
@@ -777,6 +857,7 @@ def stream_orbit(det_rows: np.ndarray, orbit_pos_eci_km: np.ndarray,
     nees_infos: List[np.ndarray] = []
     nees_est: List[np.ndarray] = []
     nees_gt: List[np.ndarray] = []
+    n_trips = 0  # recovery-ladder first-rung failures (StreamingResult)
 
     start_w = 0
     if resume_from is not None:
@@ -812,6 +893,10 @@ def stream_orbit(det_rows: np.ndarray, orbit_pos_eci_km: np.ndarray,
                     cur_states, gaps[:t_init], gt.landmarks_xyz,
                     graph.uv, graph.conf, graph.ii, intr_np, dtype,
                     max_substep=solver.max_substep,
+                    cum_rot=(cum_rot[:t_init] if cfg.tail_refine_rigid
+                             else None),
+                    att_sigma=cfg.tail_refine_att_sigma,
+                    ratio=cfg.tail_refine_ratio,
                 )
         span = int(knot_t[-1] - knot_t[t_init - 1])
         om = gt.omega_full[knot_t[t_init - 1]:knot_t[-1]]
@@ -910,9 +995,20 @@ def stream_orbit(det_rows: np.ndarray, orbit_pos_eci_km: np.ndarray,
                 record_tail(t_prev)
             continue
         sub_anchor: Optional[int] = None
-        # reduced budget ONLY for growing-prefix later windows (bounded
-        # windows are anchor + one pass = the weakly-observable class)
-        solver_w = solver if (w == 0 or bounded) else solver_later
+        # OBSERVABILITY-gated budget (VERDICT r4 #6): the reduced budget
+        # applies only when the SOLVED SPAN's own detections make the
+        # window well-conditioned — >= 2 passes (detection clusters
+        # separated by > 200 s) covering >= budget_span_min_s seconds —
+        # instead of the former window-index rule (w > 0).  For the
+        # growing prefix the two coincide on ordinary streams (the prefix
+        # accumulates one pass per window), but the proxy also keeps the
+        # full budget on close-pass weakly-observable prefixes, the
+        # seed-11 class the run-to-60 budget exists for.  Bounded windows
+        # are anchor + ONE pass — always the full budget.
+        solver_w = solver
+        if not bounded and w > 0 and _multi_pass_window(
+                knot_t[graph.ii[:i_final]], cfg):
+            solver_w = solver_later
         if w == 0:
             window_states = states[:t_final]
         elif fast:
@@ -1033,12 +1129,15 @@ def stream_orbit(det_rows: np.ndarray, orbit_pos_eci_km: np.ndarray,
                     return 0.0
                 return float(_reproj_rms_jit(o, ctx[1]))
 
+            nonlocal n_trips
             cands = []  # (rms, result) of every finite rung
-            for lam0 in (lamda, 1e2):
+            for rung, lam0 in enumerate((lamda, 1e2)):
                 o, ln, lh, mr = solve_fn(lam0)
                 r = rms_of(o)  # inf for non-finite states; 0 if gate off
                 if r <= rms_gate:
                     return o, ln, lh, mr
+                if rung == 0:
+                    n_trips += 1
                 if np.isfinite(r):
                     cands.append((r, (o, ln, lh, mr)))
             if ctx is not None and cfg.recover_f64:
@@ -1075,9 +1174,17 @@ def stream_orbit(det_rows: np.ndarray, orbit_pos_eci_km: np.ndarray,
                 st_np = np.zeros((n_pad, 10))
                 st_np[:, 6] = 1.0
                 st_np[:t_final] = window_states
+                init_w0 = init_iters
+                if cfg.window0_init_f64:
+                    o64 = _window0_init_f64_cpu(
+                        jnp.asarray(st_np, jd), prob, lamda, init_iters,
+                        solver)
+                    if o64 is not None:
+                        st_np = o64
+                        init_w0 = 0
                 out_states, lam_new, last_h, mean_res = solve_window(
                     jnp.asarray(st_np, jd), prob, lamda,
-                    jnp.asarray(init_iters), cfg.num_iters, solver,
+                    jnp.asarray(init_w0), cfg.num_iters, solver,
                 )
                 e_dev, f_dev = _end_stats(out_states, gt_dev,
                                           jnp.asarray(t_final - 1))
@@ -1091,7 +1198,7 @@ def stream_orbit(det_rows: np.ndarray, orbit_pos_eci_km: np.ndarray,
                         jnp.asarray(om_pad, jd), jnp.asarray(span),
                         jnp.asarray(rel), jnp.asarray(absi),
                         jnp.asarray(t_prev), jnp.asarray(t_final), gt_dev,
-                        prob, lamda, cfg.num_iters, solver_later,
+                        prob, lamda, cfg.num_iters, solver_w,
                         max_len, n_pad,
                     ))
                 rms_dev_l.append(rms_w)
@@ -1111,13 +1218,25 @@ def stream_orbit(det_rows: np.ndarray, orbit_pos_eci_km: np.ndarray,
                     # arc's gaps/observations)
                     from vinsat_tpu.estimation import refine
 
-                    out_dev = refine.refine_states_device(
-                        out_states, prob.gaps, prob.landmarks_xyz,
-                        prob.landmarks_uv, prob.conf, prob.ii,
-                        prob.obs_valid, prob.intrinsics,
-                        num_hops=solver.num_hops,
-                        max_substep=solver.max_substep,
-                    )
+                    if cfg.tail_refine_rigid:
+                        out_dev = refine.refine_states_device_full(
+                            out_states, prob.gaps, prob.cum_rot,
+                            prob.landmarks_xyz, prob.landmarks_uv,
+                            prob.conf, prob.ii, prob.obs_valid,
+                            prob.intrinsics, num_hops=solver.num_hops,
+                            max_substep=solver.max_substep,
+                            att_sigma=jnp.asarray(
+                                cfg.tail_refine_att_sigma, jd),
+                            ratio=jnp.asarray(cfg.tail_refine_ratio, jd),
+                        )
+                    else:
+                        out_dev = refine.refine_states_device(
+                            out_states, prob.gaps, prob.landmarks_xyz,
+                            prob.landmarks_uv, prob.conf, prob.ii,
+                            prob.obs_valid, prob.intrinsics,
+                            num_hops=solver.num_hops,
+                            max_substep=solver.max_substep,
+                        )
                 record_tail_fast(t_final)
             continue
 
@@ -1174,6 +1293,12 @@ def stream_orbit(det_rows: np.ndarray, orbit_pos_eci_km: np.ndarray,
                 )
                 if profiling_on:
                     jax.block_until_ready((st0, prob.gaps, prob.landmarks_uv))
+            if w == 0 and cfg.window0_init_f64:
+                o64 = _window0_init_f64_cpu(st0, prob, lamda, init_iters,
+                                            solver_w)
+                if o64 is not None:
+                    st0 = jnp.asarray(o64, jd)
+                    init_iters = 0
             if cfg.use_prior and w > 0 and prior_full is not None:
                 ps, hs, hr, a, b = prior_full
                 prop_pad = np.zeros((n_pad, 10))
@@ -1317,4 +1442,5 @@ def stream_orbit(det_rows: np.ndarray, orbit_pos_eci_km: np.ndarray,
         window_infos=np.asarray(nees_infos) if nees_infos else None,
         window_est=np.asarray(nees_est) if nees_est else None,
         window_gt=np.asarray(nees_gt) if nees_gt else None,
+        recovery_trips=n_trips,
     )
