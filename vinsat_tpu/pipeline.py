@@ -354,6 +354,13 @@ def simulate_sequence_imagery(seed: int, duration_s: int = 600,
         else:
             from vinsat_tpu.sim import learned_detector as ld_mod
 
+            # a template-less TrainedDetector localizes on its stride
+            # grid; the render templates ARE the class appearances here,
+            # so attach them for the matched-filter sub-pixel stage
+            if getattr(detector, "templates", None) is None and hasattr(
+                    detector, "_replace"):
+                detector = detector._replace(
+                    templates=templates[:detector.num_classes])
             s, r, c_ = ld_mod.detect_peaks_batch(detector, batch)
             s, r, c_ = s[:, :K], r[:, :K], c_[:, :K]
         launched.append((j0, s, r, c_))

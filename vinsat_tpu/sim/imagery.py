@@ -115,12 +115,96 @@ correlate_peaks_batch = jax.jit(jax.vmap(
 ))
 
 
+def _quad_offsets(surface, r_i, c_i):
+    """Sub-pixel peak offsets by separable quadratic (parabola) fit.
+
+    surface (K, Hc, Wc) score maps; r_i/c_i (K,) integer argmax coords.
+    Returns (dr, dc) in [-1, 1] sample units: the vertex of the parabola
+    through the three samples along each axis, 0 wherever the fit is
+    degenerate (peak on the map border, or non-concave samples — e.g. a
+    plateau of equal scores).  The standard matched-filter refinement: the
+    correlation of a shifted template is locally quadratic in the shift,
+    so the vertex recovers the continuous peak the integer argmax floors.
+    """
+    K, Hc, Wc = surface.shape
+    ks = jnp.arange(K)
+
+    def grab(dr, dc):
+        return surface[ks, jnp.clip(r_i + dr, 0, Hc - 1),
+                       jnp.clip(c_i + dc, 0, Wc - 1)]
+
+    s0 = grab(0, 0)
+
+    def axis_off(sm, sp, at_border):
+        denom = sm - 2.0 * s0 + sp
+        ok = (~at_border) & (denom < -1e-12)
+        off = 0.5 * (sm - sp) / jnp.where(ok, denom, 1.0)
+        return jnp.where(ok, jnp.clip(off, -1.0, 1.0), 0.0)
+
+    dr = axis_off(grab(-1, 0), grab(1, 0), (r_i <= 0) | (r_i >= Hc - 1))
+    dc = axis_off(grab(0, -1), grab(0, 1), (c_i <= 0) | (c_i >= Wc - 1))
+    return dr, dc
+
+
+@functools.partial(jax.jit, static_argnames=("radius",))
+def refine_peaks_ncc(img, templates, rows, cols, radius: int = 4):
+    """Matched-filter sub-pixel localization around integer candidates.
+
+    For each class k, correlate the class template over a (2*radius+1)^2
+    neighborhood of the candidate (rows[k], cols[k]) and return the
+    NCC-argmax position with quadratic sub-pixel interpolation.  This is
+    the localization stage for detectors whose own grid is coarse (the
+    PatchCNN's stride-2 patch grid — learned_detector.TrainedDetector
+    .templates); presence/class remain the detector's decision.
+
+    img (H, W); templates (K, S, S); rows/cols (K,) float candidate
+    centres.  Returns (rows_f, cols_f) float32.
+    """
+    K, S, _ = templates.shape
+    H, W = img.shape
+    img = img.astype(jnp.float32)
+    win = S + 2 * radius
+
+    def per_class(k, r, c):
+        # window origin clamped inside the image; offsets stay exact
+        # because positions are reconstructed from the origin
+        r0 = jnp.clip(r.astype(jnp.int32) - S // 2 - radius, 0, H - win)
+        c0 = jnp.clip(c.astype(jnp.int32) - S // 2 - radius, 0, W - win)
+        patch = jax.lax.dynamic_slice(img, (r0, c0), (win, win))
+        x = patch[None, None]
+        w = templates[k][None, None]
+        corr = jax.lax.conv_general_dilated(
+            x, w, (1, 1), "VALID",
+            dimension_numbers=("NCHW", "OIHW", "NCHW"))[0, 0]
+        ones = jnp.ones((1, 1, S, S), jnp.float32)
+        sq = jax.lax.conv_general_dilated(
+            x * x, ones, (1, 1), "VALID",
+            dimension_numbers=("NCHW", "OIHW", "NCHW"))[0, 0]
+        sm = jax.lax.conv_general_dilated(
+            x, ones, (1, 1), "VALID",
+            dimension_numbers=("NCHW", "OIHW", "NCHW"))[0, 0]
+        ncc = corr / jnp.sqrt(jnp.maximum(sq - sm * sm / (S * S), 1e-12))
+        idx = jnp.argmax(ncc)
+        Wc = win - S + 1
+        ri, ci = idx // Wc, idx % Wc
+        drf, dcf = _quad_offsets(ncc[None], ri[None], ci[None])
+        rf = (r0 + ri + drf[0] + S // 2).astype(jnp.float32)
+        cf = (c0 + ci + dcf[0] + S // 2).astype(jnp.float32)
+        return rf, cf
+
+    return jax.vmap(per_class)(jnp.arange(K), rows, cols)
+
+
 @functools.partial(jax.jit, static_argnames=())
 def _correlate_peaks(img, templates):
-    """Per-class best normalized-correlation peak.
+    """Per-class best normalized-correlation peak, sub-pixel refined.
 
     Returns (K,) scores in [-1, 1], (K,) row, (K,) col of each class's best
-    match.  The correlation is one conv2d (K output channels) — MXU work.
+    match.  The correlation is one conv2d (K output channels) — MXU work;
+    the integer argmax gets quadratic (parabola-vertex) interpolation from
+    the neighboring correlation samples (_quad_offsets), breaking the
+    1 px grid floor (the raster ground scale makes every detection pixel
+    hundreds of meters — docs/BENCHMARKS.md "sub-pixel localization").
     """
     K, S, _ = templates.shape
     H, W = img.shape
@@ -152,6 +236,9 @@ def _correlate_peaks(img, templates):
     idx = jnp.argmax(flat, axis=1)
     scores = jnp.take_along_axis(flat, idx[:, None], axis=1)[:, 0]
     Wc = W - S + 1
-    rows_ = idx // Wc + S // 2
-    cols_ = idx % Wc + S // 2
-    return scores, rows_.astype(jnp.float32), cols_.astype(jnp.float32)
+    r_i = idx // Wc
+    c_i = idx % Wc
+    dr, dc = _quad_offsets(ncc, r_i, c_i)
+    rows_ = r_i.astype(jnp.float32) + dr + S // 2
+    cols_ = c_i.astype(jnp.float32) + dc + S // 2
+    return scores, rows_, cols_

@@ -100,12 +100,22 @@ def _normalize_patches(patches):
 
 
 class TrainedDetector(NamedTuple):
-    """ImageDetector-protocol wrapper around trained PatchCNN params."""
+    """ImageDetector-protocol wrapper around trained PatchCNN params.
+
+    `templates` (optional, (K, S, S)): class appearance templates enabling
+    the matched-filter sub-pixel localization stage — the PatchCNN decides
+    presence/class on its stride-`stride` patch grid, then each accepted
+    candidate is re-localized by a local NCC + quadratic-peak fit
+    (imagery.refine_peaks_ncc).  Without templates, positions stay on the
+    patch grid (~stride px quantization — measured as the dominant OD
+    error of the grid-only detector, docs/BENCHMARKS.md).
+    """
 
     params: dict
     num_classes: int
     patch_size: int
     stride: int = 2
+    templates: jnp.ndarray = None
 
     def predict(self, image: np.ndarray, conf_threshold: float,
                 classes: np.ndarray) -> np.ndarray:
@@ -115,6 +125,11 @@ class TrainedDetector(NamedTuple):
         probs, rows_, cols_ = _detect_grid(
             self.params, img, self.num_classes, self.patch_size, self.stride
         )
+        if self.templates is not None:
+            from vinsat_tpu.sim import imagery
+
+            rows_, cols_ = imagery.refine_peaks_ncc(
+                img, jnp.asarray(self.templates, jnp.float32), rows_, cols_)
         out = []
         cls_set = set(int(c) for c in np.asarray(classes))
         for k in range(self.num_classes):
@@ -136,6 +151,8 @@ def save_detector(path: str, det: TrainedDetector) -> None:
     for kp, v in jax.tree_util.tree_leaves_with_path(det.params):
         name = "/".join(str(getattr(k, "key", k)) for k in kp)
         flat[name] = np.asarray(v)
+    if det.templates is not None:
+        flat["__templates__"] = np.asarray(det.templates)
     np.savez(path, __meta__=np.array(
         [det.num_classes, det.patch_size, det.stride]), **flat)
 
@@ -146,8 +163,12 @@ def load_detector(path: str) -> TrainedDetector:
     z = np.load(path)
     meta = z["__meta__"].astype(int)
     params: dict = {}
+    templates = None
     for name in z.files:
         if name == "__meta__":
+            continue
+        if name == "__templates__":
+            templates = jnp.asarray(z[name])
             continue
         d = params
         parts = name.split("/")
@@ -155,7 +176,8 @@ def load_detector(path: str) -> TrainedDetector:
             d = d.setdefault(p, {})
         d[parts[-1]] = jnp.asarray(z[name])
     return TrainedDetector(params=params, num_classes=int(meta[0]),
-                           patch_size=int(meta[1]), stride=int(meta[2]))
+                           patch_size=int(meta[1]), stride=int(meta[2]),
+                           templates=templates)
 
 
 def _extract_patches(img, S: int, stride: int):
@@ -256,9 +278,21 @@ def detect_peaks_batch(det: "TrainedDetector", imgs):
     YOLO -> detections -> OD chain, sim/nadir_sim.py:94-103,220).
 
     Scores are softmax probabilities in [0, 1] (already detector-style
-    confidences, unlike NCC scores in [-1, 1])."""
-    return _detect_grid_batch(det.params, jnp.asarray(imgs, jnp.float32),
-                              det.num_classes, det.patch_size, det.stride)
+    confidences, unlike NCC scores in [-1, 1]).  With det.templates set,
+    every per-frame candidate is matched-filter re-localized
+    (imagery.refine_peaks_ncc vmapped over frames) — breaking the
+    stride-2 grid floor while keeping the CNN's presence/class decision."""
+    imgs = jnp.asarray(imgs, jnp.float32)
+    scores, rows_, cols_ = _detect_grid_batch(
+        det.params, imgs, det.num_classes, det.patch_size, det.stride)
+    if det.templates is not None:
+        from vinsat_tpu.sim import imagery
+
+        tmpl = jnp.asarray(det.templates, jnp.float32)
+        rows_, cols_ = jax.vmap(
+            lambda im, r, c: imagery.refine_peaks_ncc(im, tmpl, r, c)
+        )(imgs, rows_, cols_)
+    return scores, rows_, cols_
 
 
 def train_detector(key, templates, steps: int = 3000, batch: int = 256,
