@@ -109,9 +109,11 @@ def test_trained_detector_in_od_loop():
     assert (seq.det_rows[:, 5] > 0.8).any()
     res = pipeline.run_streaming(seq, seed=1)
     assert len(res.errors) > 0, "all observations gated out"
-    # accuracy bound set by the detector's raster-grid localization, not
-    # the solver: the PatchCNN localizes on a stride-2 patch grid of a
-    # 0.01 deg/px raster (~2.2 km ground quantization vs the NCC's
-    # sub-pixel peaks; measured 13.2 km on this 600 s single-window arc,
-    # 5.2 km at 1800 s, vs 0.27 km for the NCC path — docs/BENCHMARKS.md)
-    assert res.errors.min() < 15.0, f"min error {res.errors.min()} km"
+    # matched-filter sub-pixel localization + verification (round 5): the
+    # PatchCNN proposes on its stride-2 grid, a local NCC refines each
+    # candidate to sub-pixel and its calibrated confidence gates false
+    # positives.  Measured on this 600 s single-window arc: 2.88 km
+    # (stride-2 grid-only: 13.2 km); surviving-row pixel error median
+    # 0.91 px — under the reference's 10 px per-class acceptance gate
+    # (eval/eval_landmarks.py:21,281).  docs/BENCHMARKS.md round 5.
+    assert res.errors.min() < 5.0, f"min error {res.errors.min()} km"

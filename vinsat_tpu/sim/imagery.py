@@ -152,13 +152,17 @@ def refine_peaks_ncc(img, templates, rows, cols, radius: int = 4):
 
     For each class k, correlate the class template over a (2*radius+1)^2
     neighborhood of the candidate (rows[k], cols[k]) and return the
-    NCC-argmax position with quadratic sub-pixel interpolation.  This is
-    the localization stage for detectors whose own grid is coarse (the
-    PatchCNN's stride-2 patch grid — learned_detector.TrainedDetector
-    .templates); presence/class remain the detector's decision.
+    NCC-argmax position with quadratic sub-pixel interpolation, plus the
+    peak NCC value.  This is the localization AND verification stage for
+    detectors whose own grid is coarse (the PatchCNN's stride-2 patch
+    grid — learned_detector.TrainedDetector.templates): candidate
+    proposal/class remain the detector's decision, while the peak NCC
+    separates true matches (measured 0.6-0.9) from the classifier's
+    confident false positives on landmark-free crops (noise correlations
+    0.3-0.5 — the TemplateDetector calibration, predict above).
 
     img (H, W); templates (K, S, S); rows/cols (K,) float candidate
-    centres.  Returns (rows_f, cols_f) float32.
+    centres.  Returns (rows_f, cols_f, ncc_peak) float32.
     """
     K, S, _ = templates.shape
     H, W = img.shape
@@ -190,7 +194,15 @@ def refine_peaks_ncc(img, templates, rows, cols, radius: int = 4):
         drf, dcf = _quad_offsets(ncc[None], ri[None], ci[None])
         rf = (r0 + ri + drf[0] + S // 2).astype(jnp.float32)
         cf = (c0 + ci + dcf[0] + S // 2).astype(jnp.float32)
-        return rf, cf
+        # border veto: a peak on the search-window edge means the true
+        # peak likely sits OUTSIDE the candidate's neighborhood (the
+        # proposal was off by more than `radius`) — report ncc 0 so the
+        # caller's confidence gate drops it instead of keeping a
+        # partial-overlap localization a few px off (measured as the
+        # dominant surviving-row error tail)
+        interior = ((ri > 0) & (ri < Wc - 1) & (ci > 0) & (ci < Wc - 1))
+        peak = jnp.where(interior, ncc.reshape(-1)[idx], 0.0)
+        return rf, cf, peak
 
     return jax.vmap(per_class)(jnp.arange(K), rows, cols)
 

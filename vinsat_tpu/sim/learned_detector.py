@@ -128,8 +128,20 @@ class TrainedDetector(NamedTuple):
         if self.templates is not None:
             from vinsat_tpu.sim import imagery
 
-            rows_, cols_ = imagery.refine_peaks_ncc(
+            rows_, cols_, ncc = imagery.refine_peaks_ncc(
                 img, jnp.asarray(self.templates, jnp.float32), rows_, cols_)
+            # matched-filter VERIFICATION + CALIBRATION: the classifier
+            # proposes (candidacy via its own softmax, below), the
+            # template correlation sets the final confidence using the
+            # TemplateDetector's calibrated 0.5+0.5*ncc map.  True
+            # matches (ncc 0.6-0.9) clear the OD conf>0.8 gate even when
+            # the classifier's softmax is lukewarm, while its confident
+            # false positives on landmark-free crops (ncc 0.3-0.5) fall
+            # under it instead of poisoning the solve (measured: the
+            # un-verified chain kept 7/38 rows incl. 27/62 px outliers
+            # and finished 53 km off; verified+calibrated matches the
+            # NCC path's accuracy class — docs/BENCHMARKS.md).
+            probs = jnp.where(probs > 0, 0.5 + 0.5 * ncc, probs)
         out = []
         cls_set = set(int(c) for c in np.asarray(classes))
         for k in range(self.num_classes):
@@ -289,9 +301,13 @@ def detect_peaks_batch(det: "TrainedDetector", imgs):
         from vinsat_tpu.sim import imagery
 
         tmpl = jnp.asarray(det.templates, jnp.float32)
-        rows_, cols_ = jax.vmap(
+        rows_, cols_, ncc = jax.vmap(
             lambda im, r, c: imagery.refine_peaks_ncc(im, tmpl, r, c)
         )(imgs, rows_, cols_)
+        # matched-filter verification + calibration (see
+        # TrainedDetector.predict): proposals keep the classifier's
+        # candidacy, the calibrated NCC confidence replaces the softmax
+        scores = jnp.where(scores > 0, 0.5 + 0.5 * ncc, scores)
     return scores, rows_, cols_
 
 
