@@ -253,3 +253,119 @@ def test_load_rasterio_absent(monkeypatch):
     srv = RasterImageServer()
     assert srv.load_rasterio("10S", "/fake.tif") is False
     assert srv.regions() == []
+
+
+def test_utm_forward_invariants_and_roundtrip():
+    """Native Karney-Krueger UTM (labeling.lonlat_to_utm): structural
+    invariants of the projection plus forward/inverse round-trip."""
+    from vinsat_tpu.tools import labeling as lb
+
+    # central meridian of zone 31 is 3 deg E: easting == 500 km exactly
+    E, N = lb.lonlat_to_utm(3.0, 47.3, zone=31, north=True)
+    np.testing.assert_allclose(E, 500000.0, atol=1e-6)
+    # equator on the central meridian: northing 0 (north) / 1e7 (south)
+    E0, N0 = lb.lonlat_to_utm(3.0, 0.0, zone=31, north=True)
+    np.testing.assert_allclose(N0, 0.0, atol=1e-6)
+    _, Ns = lb.lonlat_to_utm(3.0, 0.0, zone=31, north=False)
+    np.testing.assert_allclose(Ns, 1e7, atol=1e-6)
+    # meridian scale at the CM is k0: 1 deg of latitude around 45 N spans
+    # k0 * meridian arc; check against the rectifying-sphere arc length
+    _, N1 = lb.lonlat_to_utm(3.0, 44.5, 31)
+    _, N2 = lb.lonlat_to_utm(3.0, 45.5, 31)
+    # WGS84 meridian arc for 1 deg at 45 N is ~111131.7 m
+    np.testing.assert_allclose((N2 - N1) / 0.9996, 111131.7, rtol=2e-5)
+    # east-west antisymmetry about the CM
+    El, _ = lb.lonlat_to_utm(3.0 - 1.25, 52.0, 31)
+    Er, _ = lb.lonlat_to_utm(3.0 + 1.25, 52.0, 31)
+    np.testing.assert_allclose(Er - 500000.0, 500000.0 - El, atol=1e-6)
+
+    # round-trip over a grid spanning the zone (and a bit beyond)
+    lon = np.linspace(0.2, 5.8, 7)[None, :] + np.zeros((5, 1))
+    lat = np.linspace(-79, 83, 5)[:, None] + np.zeros((1, 7))
+    E, N = lb.lonlat_to_utm(lon, lat, 31, north=True)
+    lon2, lat2 = lb.utm_to_lonlat(E, N, 31, north=True)
+    np.testing.assert_allclose(lon2, lon, atol=1e-9)
+    np.testing.assert_allclose(lat2, lat, atol=1e-9)
+
+
+def test_utm_matches_snyder_series():
+    """Cross-validation against an INDEPENDENT transverse-Mercator
+    formulation (Snyder 1987, eqs. 8-9..8-15 — series in e'^2 and the
+    classic meridian-arc expansion), which is accurate to ~1 mm at UTM
+    scale: both must agree to < 2 mm over the zone."""
+    from vinsat_tpu.tools import labeling as lb
+
+    a = 6378137.0
+    f = 1 / 298.257223563
+    e2 = f * (2 - f)
+    ep2 = e2 / (1 - e2)
+    k0 = 0.9996
+
+    def snyder(lon_deg, lat_deg, zone):
+        lon = np.radians(np.asarray(lon_deg, np.float64))
+        lat = np.radians(np.asarray(lat_deg, np.float64))
+        lon0 = np.radians(zone * 6.0 - 183.0)
+        sp, cp = np.sin(lat), np.cos(lat)
+        Nr = a / np.sqrt(1 - e2 * sp * sp)
+        T = (sp / cp) ** 2
+        C = ep2 * cp * cp
+        A = (lon - lon0) * cp
+        M = a * ((1 - e2 / 4 - 3 * e2 ** 2 / 64 - 5 * e2 ** 3 / 256) * lat
+                 - (3 * e2 / 8 + 3 * e2 ** 2 / 32 + 45 * e2 ** 3 / 1024)
+                 * np.sin(2 * lat)
+                 + (15 * e2 ** 2 / 256 + 45 * e2 ** 3 / 1024)
+                 * np.sin(4 * lat)
+                 - (35 * e2 ** 3 / 3072) * np.sin(6 * lat))
+        E = k0 * Nr * (A + (1 - T + C) * A ** 3 / 6
+                       + (5 - 18 * T + T * T + 72 * C - 58 * ep2)
+                       * A ** 5 / 120) + 500000.0
+        N = k0 * (M + Nr * sp / cp * (A ** 2 / 2
+                  + (5 - T + 9 * C + 4 * C * C) * A ** 4 / 24
+                  + (61 - 58 * T + T * T + 600 * C - 330 * ep2)
+                  * A ** 6 / 720))
+        return E, N
+
+    rng = np.random.default_rng(7)
+    lon = 3.0 + rng.uniform(-2.8, 2.8, 40)
+    lat = rng.uniform(-75, 75, 40)
+    E1, N1 = lb.lonlat_to_utm(lon, lat, 31, north=True)
+    E2, N2 = snyder(lon, lat, 31)
+    np.testing.assert_allclose(E1, E2, atol=2e-3)
+    np.testing.assert_allclose(N1, N2, atol=2e-3)
+
+
+def test_label_raster_utm_crs():
+    """label_raster on a UTM raster (EPSG:326xx): labels must land at the
+    same normalized positions as projecting the landmark coordinates
+    through the UTM forward transform by hand."""
+    from vinsat_tpu.tools import labeling as lb
+
+    zone, north = 33, True  # 15 deg E central meridian
+    # raster window: 20 km x 15 km around (14.8 E, 48.2 N), 10 m/px
+    cx, cy = lb.lonlat_to_utm(14.8, 48.2, zone, north)
+    W, H, res = 2000, 1500, 10.0
+    tr = Affine(res, 0.0, float(cx) - W / 2 * res,
+                0.0, -res, float(cy) + H / 2 * res)
+
+    # landmarks: centroid + bbox corners in lon/lat, ~1 km boxes
+    lon_c = np.array([14.78, 14.85, 14.80])
+    lat_c = np.array([48.22, 48.17, 48.26])
+    dlon, dlat = 0.006, 0.004
+    lm = np.stack([lon_c, lat_c, lon_c - dlon, lat_c - dlat,
+                   lon_c + dlon, lat_c + dlat], axis=1)
+    rows = lb.label_raster(lm, tr, W, H, crs=f"EPSG:326{zone}")
+    assert rows.shape[0] == 3
+    Ec, Nc = lb.lonlat_to_utm(lon_c, lat_c, zone, north)
+    cu, cv = tr.world_to_pixel(Ec, Nc)
+    np.testing.assert_allclose(rows[:, 1], cu / W, atol=1e-12)
+    np.testing.assert_allclose(rows[:, 2], cv / H, atol=1e-12)
+    # a 1 km-wide box at 10 m/px is ~100 px wide -> ~0.05 normalized
+    assert (rows[:, 3] > 0.03).all() and (rows[:, 3] < 0.08).all()
+    # southern-hemisphere CRS accepted too
+    rows_s = lb.label_raster(lm, tr, W, H, crs=f"EPSG:327{zone}")
+    assert rows_s.shape[1] == 5
+    # unknown CRS still refuses loudly
+    import pytest
+
+    with pytest.raises(ValueError):
+        lb.label_raster(lm, tr, W, H, crs="EPSG:2154")

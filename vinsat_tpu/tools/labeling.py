@@ -85,6 +85,123 @@ def epsg3857_to_lonlat(x, y):
     return lon, lat
 
 
+# --- native UTM / transverse Mercator (EPSG:326xx north / 327xx south) ----
+#
+# The reference projects landmark bboxes through ANY raster CRS via pyproj
+# (labeling/label_ld.py:62-63).  pyproj is absent from this environment, so
+# the CRS family that actually occurs for the MGRS-zone training rasters —
+# UTM — is implemented natively: the Karney-Krueger series for the
+# transverse Mercator (6th-order in the third flattening n), accurate to
+# well under a millimeter inside a UTM zone.
+
+_WGS84_A = 6378137.0
+_WGS84_F = 1.0 / 298.257223563
+_UTM_K0 = 0.9996
+_UTM_FE = 500000.0  # false easting, m
+_UTM_FN_S = 10000000.0  # false northing (southern hemisphere), m
+
+# third flattening and rectifying radius
+_N3 = _WGS84_F / (2.0 - _WGS84_F)
+_KK_A = _WGS84_A / (1.0 + _N3) * (1.0 + _N3 ** 2 / 4.0 + _N3 ** 4 / 64.0
+                                  + _N3 ** 6 / 256.0)
+# Krueger alpha (forward) / beta (inverse) series, 6th order in n
+_KK_ALPHA = (
+    _N3 / 2 - 2 * _N3 ** 2 / 3 + 5 * _N3 ** 3 / 16 + 41 * _N3 ** 4 / 180
+    - 127 * _N3 ** 5 / 288 + 7891 * _N3 ** 6 / 37800,
+    13 * _N3 ** 2 / 48 - 3 * _N3 ** 3 / 5 + 557 * _N3 ** 4 / 1440
+    + 281 * _N3 ** 5 / 630 - 1983433 * _N3 ** 6 / 1935360,
+    61 * _N3 ** 3 / 240 - 103 * _N3 ** 4 / 140 + 15061 * _N3 ** 5 / 26880
+    + 167603 * _N3 ** 6 / 181440,
+    49561 * _N3 ** 4 / 161280 - 179 * _N3 ** 5 / 168
+    + 6601661 * _N3 ** 6 / 7257600,
+    34729 * _N3 ** 5 / 80640 - 3418889 * _N3 ** 6 / 1995840,
+    212378941 * _N3 ** 6 / 319334400,
+)
+_KK_BETA = (
+    _N3 / 2 - 2 * _N3 ** 2 / 3 + 37 * _N3 ** 3 / 96 - _N3 ** 4 / 360
+    - 81 * _N3 ** 5 / 512 + 96199 * _N3 ** 6 / 604800,
+    _N3 ** 2 / 48 + _N3 ** 3 / 15 - 437 * _N3 ** 4 / 1440
+    + 46 * _N3 ** 5 / 105 - 1118711 * _N3 ** 6 / 3870720,
+    17 * _N3 ** 3 / 480 - 37 * _N3 ** 4 / 840 - 209 * _N3 ** 5 / 4480
+    + 5569 * _N3 ** 6 / 90720,
+    4397 * _N3 ** 4 / 161280 - 11 * _N3 ** 5 / 504
+    - 830251 * _N3 ** 6 / 7257600,
+    4583 * _N3 ** 5 / 161280 - 108847 * _N3 ** 6 / 3991680,
+    20648693 * _N3 ** 6 / 638668800,
+)
+_E1 = np.sqrt(_WGS84_F * (2.0 - _WGS84_F))  # first eccentricity
+
+
+def utm_central_meridian_deg(zone: int) -> float:
+    """Central meridian of UTM zone 1..60 in degrees."""
+    if not 1 <= zone <= 60:
+        raise ValueError(f"UTM zone {zone} out of range 1..60")
+    return zone * 6.0 - 183.0
+
+
+def lonlat_to_utm(lon_deg, lat_deg, zone: int, north: bool = True):
+    """Forward WGS84 lon/lat -> UTM easting/northing (m), Karney-Krueger
+    transverse Mercator series (sub-mm inside the zone)."""
+    lon = np.radians(np.asarray(lon_deg, np.float64))
+    lat = np.radians(np.asarray(lat_deg, np.float64))
+    lam = lon - np.radians(utm_central_meridian_deg(zone))
+    s = np.sin(lat)
+    # conformal latitude via the Gauss-Schreiber tau
+    t = np.sinh(np.arctanh(s) - _E1 * np.arctanh(_E1 * s))
+    xi_p = np.arctan2(t, np.cos(lam))
+    eta_p = np.arcsinh(np.sin(lam) / np.hypot(t, np.cos(lam)))
+    xi = np.asarray(xi_p, np.float64).copy()
+    eta = np.asarray(eta_p, np.float64).copy()
+    for j, a_j in enumerate(_KK_ALPHA, start=1):
+        xi = xi + a_j * np.sin(2 * j * xi_p) * np.cosh(2 * j * eta_p)
+        eta = eta + a_j * np.cos(2 * j * xi_p) * np.sinh(2 * j * eta_p)
+    E = _UTM_FE + _UTM_K0 * _KK_A * eta
+    N = _UTM_K0 * _KK_A * xi + (0.0 if north else _UTM_FN_S)
+    return E, N
+
+
+def utm_to_lonlat(easting, northing, zone: int, north: bool = True):
+    """Inverse UTM -> WGS84 lon/lat degrees (Karney-Krueger inverse series
+    + 2 Newton steps on the conformal-latitude relation)."""
+    E = np.asarray(easting, np.float64)
+    N = np.asarray(northing, np.float64)
+    xi = (N - (0.0 if north else _UTM_FN_S)) / (_UTM_K0 * _KK_A)
+    eta = (E - _UTM_FE) / (_UTM_K0 * _KK_A)
+    xi_p = np.asarray(xi, np.float64).copy()
+    eta_p = np.asarray(eta, np.float64).copy()
+    for j, b_j in enumerate(_KK_BETA, start=1):
+        xi_p = xi_p - b_j * np.sin(2 * j * xi) * np.cosh(2 * j * eta)
+        eta_p = eta_p - b_j * np.cos(2 * j * xi) * np.sinh(2 * j * eta)
+    t = np.sin(xi_p) / np.hypot(np.sinh(eta_p), np.cos(xi_p))
+    lam = np.arctan2(np.sinh(eta_p), np.cos(xi_p))
+    # invert tau(phi): Newton on t = sinh(atanh(sin phi) - e atanh(e sin phi))
+    phi = np.arctan(t)
+    for _ in range(3):
+        s = np.sin(phi)
+        f_val = np.sinh(np.arctanh(s) - _E1 * np.arctanh(_E1 * s)) - t
+        dtau = (np.cosh(np.arctanh(s) - _E1 * np.arctanh(_E1 * s))
+                * (1.0 - _E1 ** 2) / ((1.0 - (_E1 * s) ** 2) * np.cos(phi)))
+        phi = phi - f_val / dtau
+    lon = np.degrees(lam) + utm_central_meridian_deg(zone)
+    return lon, np.degrees(phi)
+
+
+def _parse_crs(crs: str):
+    """CRS string -> projection fn lonlat->(x, y) or None if unsupported."""
+    c = crs.upper().replace("EPSG:", "")
+    if c == "3857":
+        return lonlat_to_epsg3857
+    if c == "4326":
+        return lambda lon, lat: (np.asarray(lon, np.float64),
+                                 np.asarray(lat, np.float64))
+    if len(c) == 5 and c.isdigit() and c[:3] in ("326", "327"):
+        zone = int(c[3:])
+        if 1 <= zone <= 60:
+            north = c[:3] == "326"
+            return lambda lon, lat: lonlat_to_utm(lon, lat, zone, north)
+    return None
+
+
 def label_raster(landmarks: np.ndarray, transform, width: int, height: int,
                  crs: str = "EPSG:3857") -> np.ndarray:
     """YOLO labels for a REAL raster: project landmark bboxes through the
@@ -93,8 +210,11 @@ def label_raster(landmarks: np.ndarray, transform, width: int, height: int,
     landmarks rows: [centroid_lon, centroid_lat, left_lon, bot_lat,
     right_lon, top_lat, ...] (the *_top_salient.csv column content);
     transform: a tools.raster.Affine mapping pixel -> CRS world coords (the
-    GDAL geotransform); crs: "EPSG:3857" (Web-Mercator training GeoTIFFs)
-    or "EPSG:4326" (lon/lat degrees raster).
+    GDAL geotransform); crs: "EPSG:3857" (Web-Mercator training GeoTIFFs),
+    "EPSG:4326" (lon/lat degrees raster), or a UTM zone "EPSG:326xx" /
+    "EPSG:327xx" (native Karney-Krueger transverse Mercator — the CRS
+    family of MGRS-zone rasters; the reference reaches these via pyproj,
+    label_ld.py:62-63).
 
     Returns (K, 5) rows [cls_idx, xc_n, yc_n, w_n, h_n] with the symmetric
     width/height doubling (:69-74) and the all-corners-in-bounds gate
@@ -105,14 +225,10 @@ def label_raster(landmarks: np.ndarray, transform, width: int, height: int,
     l_lon, b_lat = lm[:, 2], lm[:, 3]
     r_lon, t_lat = lm[:, 4], lm[:, 5]
 
-    if crs.upper() in ("EPSG:3857", "3857"):
-        def proj(lon, lat):
-            return lonlat_to_epsg3857(lon, lat)
-    elif crs.upper() in ("EPSG:4326", "4326"):
-        def proj(lon, lat):
-            return np.asarray(lon, np.float64), np.asarray(lat, np.float64)
-    else:
-        raise ValueError(f"unsupported CRS {crs!r}: EPSG:3857 / EPSG:4326")
+    proj = _parse_crs(crs)
+    if proj is None:
+        raise ValueError(f"unsupported CRS {crs!r}: EPSG:3857 / EPSG:4326 "
+                         f"/ EPSG:326xx / EPSG:327xx (UTM)")
 
     def to_px(lon, lat):
         x, y = proj(lon, lat)
