@@ -595,24 +595,15 @@ def _window0_init_f64_cpu(st0, prob: ba.BAProblem, lamda0, init_iters: int,
     (StreamingConfig.window0_init_f64): init_iters vision-only + 10 full
     LM iterations at a FIXED count (max_iters=0, sequential λ), returning
     the warm-start states as host f64 — or None when the stream is
-    already f64 / no CPU backend exists (nothing to harden with)."""
-    if jnp.dtype(jnp.asarray(st0).dtype) == jnp.dtype(jnp.float64):
+    already f64 / no CPU backend exists (nothing to harden with).
+    Delegates to _solve_window_f64_cpu (same backend lookup, f64 casts,
+    and thread-local x64 context as the recovery-ladder escalation)."""
+    r = _solve_window_f64_cpu(
+        st0, prob, lamda0, init_iters, int(init_iters) + 10,
+        params._replace(max_iters=0, batched_lambda=0))
+    if r is None or not np.isfinite(r[0]).all():
         return None
-    try:
-        cpu0 = jax.local_devices(backend="cpu")[0]
-    except Exception:
-        return None
-    p = params._replace(max_iters=0, batched_lambda=0)
-    st64 = _tree_to_f64(st0)
-    prob64 = _tree_to_f64(prob)
-    with jax.enable_x64(True), jax.default_device(cpu0):
-        out = solve_window(jnp.asarray(st64), prob64,
-                           jnp.asarray(float(lamda0), jnp.float64),
-                           jnp.asarray(int(init_iters)),
-                           int(init_iters) + 10, p)
-        o = jax.device_get(out[0])
-    o = np.asarray(o, np.float64)
-    return o if np.isfinite(o).all() else None
+    return r[0]
 
 
 def _pad_prob(n: int, gaps, cum_rot, lm_xyz, lm_uv, conf, ii,

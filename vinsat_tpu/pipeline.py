@@ -385,8 +385,10 @@ def simulate_sequence_imagery(seed: int, duration_s: int = 600,
     dlat = wa[jsel, 3] * c_sel + wa[jsel, 4] * r_sel + wa[jsel, 5]
     fi_a = np.array([m[0] for m in metas])[jsel]
     pose_a = np.array([m[1] for m in metas])[jsel]
-    # NCC scores in [-1,1] calibrate to detector-style confidence;
-    # PatchCNN scores are softmax probabilities — already confidences
+    # NCC scores in [-1,1] calibrate to detector-style confidence here;
+    # TrainedDetector rows arrive ALREADY calibrated (templates are
+    # auto-attached above, so detect_peaks_batch returns 0.5+0.5*ncc
+    # matched-filter confidences — vetoed candidates exactly 0)
     conf_a = (scores_b[jsel, ksel] if detector is not None
               else 0.5 + 0.5 * scores_b[jsel, ksel])
     cand = list(zip(fi_a, pose_a, ksel, dlon, dlat, conf_a))

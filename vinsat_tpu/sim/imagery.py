@@ -196,12 +196,16 @@ def refine_peaks_ncc(img, templates, rows, cols, radius: int = 4):
         cf = (c0 + ci + dcf[0] + S // 2).astype(jnp.float32)
         # border veto: a peak on the search-window edge means the true
         # peak likely sits OUTSIDE the candidate's neighborhood (the
-        # proposal was off by more than `radius`) — report ncc 0 so the
-        # caller's confidence gate drops it instead of keeping a
-        # partial-overlap localization a few px off (measured as the
-        # dominant surviving-row error tail)
+        # proposal was off by more than `radius`).  Keep the ORIGINAL
+        # (unrefined) position — the edge peak is a partial-overlap
+        # localization the code itself distrusts — and report peak -1 so
+        # the calibrated-confidence map 0.5 + 0.5*peak yields exactly 0:
+        # the veto drops the detection through any confidence gate, with
+        # no floor a low threshold could readmit.
         interior = ((ri > 0) & (ri < Wc - 1) & (ci > 0) & (ci < Wc - 1))
-        peak = jnp.where(interior, ncc.reshape(-1)[idx], 0.0)
+        peak = jnp.where(interior, ncc.reshape(-1)[idx], -1.0)
+        rf = jnp.where(interior, rf, r.astype(jnp.float32))
+        cf = jnp.where(interior, cf, c.astype(jnp.float32))
         return rf, cf, peak
 
     return jax.vmap(per_class)(jnp.arange(K), rows, cols)
