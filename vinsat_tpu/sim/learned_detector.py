@@ -122,26 +122,29 @@ class TrainedDetector(NamedTuple):
         img = jnp.asarray(image, jnp.float32)
         if img.ndim == 3:
             img = img.mean(axis=-1)
-        probs, rows_, cols_ = _detect_grid(
-            self.params, img, self.num_classes, self.patch_size, self.stride
-        )
         if self.templates is not None:
-            from vinsat_tpu.sim import imagery
-
-            rows_, cols_, ncc = imagery.refine_peaks_ncc(
-                img, jnp.asarray(self.templates, jnp.float32), rows_, cols_)
             # matched-filter VERIFICATION + CALIBRATION: the classifier
-            # proposes (candidacy via its own softmax, below), the
-            # template correlation sets the final confidence using the
-            # TemplateDetector's calibrated 0.5+0.5*ncc map.  True
-            # matches (ncc 0.6-0.9) clear the OD conf>0.8 gate even when
-            # the classifier's softmax is lukewarm, while its confident
-            # false positives on landmark-free crops (ncc 0.3-0.5) fall
-            # under it instead of poisoning the solve (measured: the
+            # proposes its top-k owning patches per class, a local
+            # template correlation refines each to sub-pixel and the
+            # best-correlating candidate wins with the TemplateDetector's
+            # calibrated 0.5+0.5*ncc confidence.  True matches
+            # (ncc 0.6-0.9) clear the OD conf>0.8 gate even when the
+            # softmax is lukewarm; the classifier's confident false
+            # positives on landmark-free crops (ncc 0.3-0.5) fall under
+            # it instead of poisoning the solve (measured: the
             # un-verified chain kept 7/38 rows incl. 27/62 px outliers
-            # and finished 53 km off; verified+calibrated matches the
-            # NCC path's accuracy class — docs/BENCHMARKS.md).
-            probs = jnp.where(probs > 0, 0.5 + 0.5 * ncc, probs)
+            # and finished 53 km off), and a wrong-texture top patch is
+            # out-correlated by a lower-ranked candidate at the true
+            # landmark (docs/BENCHMARKS.md round 5).
+            vals, rk, ck = _detect_grid_topk(
+                self.params, img, self.num_classes, self.patch_size,
+                self.stride, _PROPOSAL_TOPK)
+            probs, rows_, cols_ = _select_refined(
+                img, jnp.asarray(self.templates, jnp.float32), vals, rk, ck)
+        else:
+            probs, rows_, cols_ = _detect_grid(
+                self.params, img, self.num_classes, self.patch_size,
+                self.stride)
         out = []
         cls_set = set(int(c) for c in np.asarray(classes))
         for k in range(self.num_classes):
@@ -235,6 +238,85 @@ def _classify_patches(params, patches, nr, nc, num_classes, S, stride):
     return best, rows_.astype(jnp.float32), cols_.astype(jnp.float32)
 
 
+# proposals per class fed to the matched-filter selection stage: the
+# classifier's top patch alone measurably misses landmarks whose best
+# owning patch sits on neighboring texture; 3 candidates recover them at
+# negligible cost (3 local correlations per class per crop)
+_PROPOSAL_TOPK = 3
+
+
+def _topk_from_gated(gated, nc: int, S: int, stride: int, k: int):
+    """Top-k owning patches per class from a (P, K) gated-probability map.
+
+    Returns (vals, rows, cols), each (K, k): the k highest-probability
+    patches whose own argmax is the class (vals may be 0 where a class
+    owns fewer than k patches — those slots are non-candidates)."""
+    vals, idx = jax.lax.top_k(gated.T, k)  # (K, k)
+    rows_ = (idx // nc) * stride + S // 2
+    cols_ = (idx % nc) * stride + S // 2
+    return vals, rows_.astype(jnp.float32), cols_.astype(jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("num_classes", "S", "stride",
+                                             "k"))
+def _detect_grid_topk(params, img, num_classes: int, S: int, stride: int,
+                      k: int):
+    """Top-k candidate locations per class (single image) — the proposal
+    stage for matched-filter selection (detect with templates)."""
+    patches, nr, nc = _extract_patches(img, S, stride)
+    patches = _normalize_patches(patches)
+    model = PatchCNN(num_classes=num_classes)
+    logits = model.apply({"params": params}, patches[..., None])
+    full = jax.nn.softmax(logits, axis=-1)
+    cls_hat = jnp.argmax(full, axis=-1)
+    gated = jnp.where(cls_hat[:, None] == jnp.arange(num_classes)[None],
+                      full[:, :num_classes], 0.0)
+    return _topk_from_gated(gated, nc, S, stride, min(k, nr * nc))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("num_classes", "S", "stride", "k",
+                                    "batch"))
+def _detect_grid_batch_topk(params, imgs, num_classes: int, S: int,
+                            stride: int, k: int, batch: int = 8192):
+    """Batched top-k proposals: (F, K, k) vals/rows/cols."""
+    imgs = imgs.astype(jnp.float32)
+
+    def per_frame(im):
+        patches, nr, nc = _extract_patches(im, S, stride)
+        gated = _classify_gated_chunked(params, patches, num_classes, batch)
+        return _topk_from_gated(gated, nc, S, stride,
+                                min(k, patches.shape[0]))
+
+    return jax.lax.map(per_frame, imgs)
+
+
+def _select_refined(im, tmpl, vals, rows_k, cols_k):
+    """Refine every proposal and keep the best-correlating one per class.
+
+    vals/rows_k/cols_k (K, k) from a top-k proposal stage; returns
+    (score, rows, cols) with score the calibrated matched-filter
+    confidence of the WINNING candidate (0 when no candidate is owned or
+    every one is border-vetoed).  Multi-candidate proposals close the
+    recall gap of best-patch-only proposals: when the classifier's top
+    patch for a class sits on the wrong texture, a lower-ranked owning
+    patch at the true landmark still reaches the matched filter, which
+    is the better judge (measured: 1800 s imagery OD 1.26 -> sub-km)."""
+    from vinsat_tpu.sim import imagery
+
+    rf, cf, pk = jax.vmap(
+        lambda rr, cc: imagery.refine_peaks_ncc(im, tmpl, rr, cc),
+        in_axes=(1, 1), out_axes=1,
+    )(rows_k, cols_k)  # (K, k)
+    pk = jnp.where(vals > 0, pk, -1.0)  # non-owned slots never win
+    j = jnp.argmax(pk, axis=1)
+    best = jnp.take_along_axis(pk, j[:, None], axis=1)[:, 0]
+    rows_ = jnp.take_along_axis(rf, j[:, None], axis=1)[:, 0]
+    cols_ = jnp.take_along_axis(cf, j[:, None], axis=1)[:, 0]
+    score = jnp.maximum(0.5 + 0.5 * best, 0.0)
+    return score, rows_, cols_
+
+
 def _classify_gated_chunked(params, patches, num_classes: int,
                             batch: int = 8192):
     """(P, K) background-gated class probabilities, classified in bounded
@@ -295,20 +377,19 @@ def detect_peaks_batch(det: "TrainedDetector", imgs):
     (imagery.refine_peaks_ncc vmapped over frames) — breaking the
     stride-2 grid floor while keeping the CNN's presence/class decision."""
     imgs = jnp.asarray(imgs, jnp.float32)
-    scores, rows_, cols_ = _detect_grid_batch(
-        det.params, imgs, det.num_classes, det.patch_size, det.stride)
-    if det.templates is not None:
-        from vinsat_tpu.sim import imagery
-
-        tmpl = jnp.asarray(det.templates, jnp.float32)
-        rows_, cols_, ncc = jax.vmap(
-            lambda im, r, c: imagery.refine_peaks_ncc(im, tmpl, r, c)
-        )(imgs, rows_, cols_)
-        # matched-filter verification + calibration (see
-        # TrainedDetector.predict): proposals keep the classifier's
-        # candidacy, the calibrated NCC confidence replaces the softmax
-        scores = jnp.where(scores > 0, 0.5 + 0.5 * ncc, scores)
-    return scores, rows_, cols_
+    if det.templates is None:
+        return _detect_grid_batch(det.params, imgs, det.num_classes,
+                                  det.patch_size, det.stride)
+    # matched-filter verification + calibration over top-k proposals (see
+    # TrainedDetector.predict): the best-correlating candidate per class
+    # wins with the calibrated NCC confidence
+    tmpl = jnp.asarray(det.templates, jnp.float32)
+    vals, rk, ck = _detect_grid_batch_topk(
+        det.params, imgs, det.num_classes, det.patch_size, det.stride,
+        _PROPOSAL_TOPK)
+    return jax.vmap(
+        lambda im, v, rr, cc: _select_refined(im, tmpl, v, rr, cc)
+    )(imgs, vals, rk, ck)
 
 
 def train_detector(key, templates, steps: int = 3000, batch: int = 256,
