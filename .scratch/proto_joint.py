@@ -241,5 +241,6 @@ def run_seed(seed, att_sigmas=(0.0, 2e-3, 1e-2)):
               flush=True)
 
 
-for s in [int(x) for x in sys.argv[1:]] or [13]:
-    run_seed(s)
+if __name__ == "__main__":
+    for s in [int(x) for x in sys.argv[1:]] or [13]:
+        run_seed(s)
