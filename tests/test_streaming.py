@@ -284,6 +284,28 @@ def test_later_window_budget_fast_matches_sync(short_seq):
     assert r_fast.errors[-1] < max(2.0 * r_full.errors[-1], 1.0)
 
 
+def test_multi_pass_budget_gate():
+    """The observability proxy gating the reduced later-window budget
+    (window._multi_pass_window): >= 2 passes (clusters separated by
+    > 200 s) spanning >= budget_span_min_s — single passes, close passes,
+    and short spans keep the full budget."""
+    import vinsat_tpu.estimation.window as W
+
+    cfg = W.StreamingConfig()  # budget_span_min_s = 1200
+    mp = W._multi_pass_window
+    # two passes, long span: reduced budget applies
+    assert mp(np.array([0, 10, 20, 1490, 1500.0]), cfg)
+    # one contiguous pass (gaps <= 200 s), even over a long span: full
+    assert not mp(np.arange(0, 1600, 100.0), cfg)
+    # two passes but a short span: full
+    assert not mp(np.array([0, 10, 300, 310.0]), cfg)
+    # degenerate inputs
+    assert not mp(np.array([]), cfg)
+    assert not mp(np.array([5.0]), cfg)
+    # unsorted/duplicated detection times must not fake extra passes
+    assert not mp(np.array([310, 0, 310, 0, 10.0]), cfg)
+
+
 def test_reproj_rms_signal(short_seq):
     """The GT-free solve-quality signal (window._reproj_rms_impl): small at
     a converged solution, large (capped) at a perturbed one."""
@@ -327,12 +349,15 @@ def test_rms_gate_walks_ladder_and_degrades_gracefully(short_seq):
                           cfg=W.StreamingConfig(recover_rms_px=1e-3))
     assert np.isfinite(r_on.errors).all()
     assert r_on.errors.min() < 2.0
+    # the trips instrumentation counts every first-rung failure
+    assert r_on.recovery_trips > 0
     r_def = W.stream_orbit(rows, short_seq.orbit_pos_eci_km, seed=3,
                            cfg=W.StreamingConfig())
     r_off = W.stream_orbit(rows, short_seq.orbit_pos_eci_km, seed=3,
                            cfg=W.StreamingConfig(recover_rms_px=0.0))
     np.testing.assert_allclose(r_def.final_states, r_off.final_states,
                                rtol=0, atol=1e-9)
+    assert r_def.recovery_trips == 0  # healthy stream: armed gate, 0 trips
 
 
 def test_rms_gate_f64_escalation(short_seq):
