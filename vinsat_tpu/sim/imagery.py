@@ -115,6 +115,27 @@ correlate_peaks_batch = jax.jit(jax.vmap(
 ))
 
 
+def _ncc_surface(img2d, templates):
+    """Zero-mean NCC surface: (K, H-S+1, W-S+1) of each (zero-mean)
+    template correlated over img2d (H, W).  One K-channel conv for the
+    numerator; the denominator is the local patch's centered norm
+    sqrt(sum x^2 - S^2 mean^2).  Shared by the full-image detector
+    (_correlate_peaks) and the local refinement windows
+    (refine_peaks_ncc)."""
+    K, S, _ = templates.shape
+    x = img2d[None, None]  # NCHW
+    dn = ("NCHW", "OIHW", "NCHW")
+    corr = jax.lax.conv_general_dilated(
+        x, templates[:, None], (1, 1), "VALID", dimension_numbers=dn)[0]
+    ones = jnp.ones((1, 1, S, S), jnp.float32)
+    sq = jax.lax.conv_general_dilated(
+        x * x, ones, (1, 1), "VALID", dimension_numbers=dn)[0, 0]
+    sm = jax.lax.conv_general_dilated(
+        x, ones, (1, 1), "VALID", dimension_numbers=dn)[0, 0]
+    var = jnp.maximum(sq - sm * sm / (S * S), 1e-12)
+    return corr / jnp.sqrt(var)[None]
+
+
 def _quad_offsets(surface, r_i, c_i):
     """Sub-pixel peak offsets by separable quadratic (parabola) fit.
 
@@ -175,19 +196,7 @@ def refine_peaks_ncc(img, templates, rows, cols, radius: int = 4):
         r0 = jnp.clip(r.astype(jnp.int32) - S // 2 - radius, 0, H - win)
         c0 = jnp.clip(c.astype(jnp.int32) - S // 2 - radius, 0, W - win)
         patch = jax.lax.dynamic_slice(img, (r0, c0), (win, win))
-        x = patch[None, None]
-        w = templates[k][None, None]
-        corr = jax.lax.conv_general_dilated(
-            x, w, (1, 1), "VALID",
-            dimension_numbers=("NCHW", "OIHW", "NCHW"))[0, 0]
-        ones = jnp.ones((1, 1, S, S), jnp.float32)
-        sq = jax.lax.conv_general_dilated(
-            x * x, ones, (1, 1), "VALID",
-            dimension_numbers=("NCHW", "OIHW", "NCHW"))[0, 0]
-        sm = jax.lax.conv_general_dilated(
-            x, ones, (1, 1), "VALID",
-            dimension_numbers=("NCHW", "OIHW", "NCHW"))[0, 0]
-        ncc = corr / jnp.sqrt(jnp.maximum(sq - sm * sm / (S * S), 1e-12))
+        ncc = _ncc_surface(patch, templates[k][None])[0]
         idx = jnp.argmax(ncc)
         Wc = win - S + 1
         ri, ci = idx // Wc, idx % Wc
@@ -226,28 +235,7 @@ def _correlate_peaks(img, templates):
     H, W = img.shape
     # uint8 crops upload 4x less over a remote-device tunnel; NCC is
     # invariant to the affine intensity scale, so cast on device
-    img = img.astype(jnp.float32)
-    x = img[None, None]  # NCHW
-    w = templates[:, None]  # OIHW
-    corr = jax.lax.conv_general_dilated(
-        x, w, window_strides=(1, 1), padding="VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-    )[0]  # (K, H-S+1, W-S+1)
-    # proper zero-mean NCC: the templates are zero-mean (offset cancels in
-    # the numerator); the denominator is the local patch's centered norm
-    # sqrt(sum x^2 - S^2 * mean^2)
-    ones = jnp.ones((1, 1, S, S), jnp.float32)
-    sq = jax.lax.conv_general_dilated(
-        x * x, ones, (1, 1), "VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-    )[0, 0]
-    sm = jax.lax.conv_general_dilated(
-        x, ones, (1, 1), "VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-    )[0, 0]
-    var = jnp.maximum(sq - sm * sm / (S * S), 1e-12)
-    norm = jnp.sqrt(var)
-    ncc = corr / norm[None]
+    ncc = _ncc_surface(img.astype(jnp.float32), templates)
     flat = ncc.reshape(K, -1)
     idx = jnp.argmax(flat, axis=1)
     scores = jnp.take_along_axis(flat, idx[:, None], axis=1)[:, 0]

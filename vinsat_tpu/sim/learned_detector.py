@@ -219,18 +219,25 @@ def _detect_grid(params, img, num_classes: int, S: int, stride: int):
     return _classify_patches(params, patches, nr, nc, num_classes, S, stride)
 
 
-def _classify_patches(params, patches, nr, nc, num_classes, S, stride):
+def _gated_map(params, patches, num_classes):
+    """(P, K) ownership-gated class probabilities.
+
+    Decision rule: a patch detects class k only if k is the patch's OWN
+    softmax argmax (background competes) — taking a bare
+    max-prob-per-class over ~10k patches would fire on chance noise
+    peaks.  Shared by the best-1 grid, the top-k proposal stage, and the
+    chunked batch path."""
     patches = _normalize_patches(patches)
     model = PatchCNN(num_classes=num_classes)
     logits = model.apply({"params": params}, patches[..., None])
     full = jax.nn.softmax(logits, axis=-1)  # (P, K+1) incl. background
-    # decision rule: a patch detects class k only if k is the patch's OWN
-    # argmax (background competes); taking a bare max-prob-per-class over
-    # ~10k patches would fire on chance noise peaks
     cls_hat = jnp.argmax(full, axis=-1)  # (P,)
-    probs = full[:, :num_classes]
-    gated = jnp.where(cls_hat[:, None] == jnp.arange(num_classes)[None],
-                      probs, 0.0)
+    return jnp.where(cls_hat[:, None] == jnp.arange(num_classes)[None],
+                     full[:, :num_classes], 0.0)
+
+
+def _classify_patches(params, patches, nr, nc, num_classes, S, stride):
+    gated = _gated_map(params, patches, num_classes)
     idx = jnp.argmax(gated, axis=0)  # (K,) best owning patch per class
     best = jnp.take_along_axis(gated, idx[None], axis=0)[0]
     rows_ = (idx // nc) * stride + S // 2
@@ -264,13 +271,7 @@ def _detect_grid_topk(params, img, num_classes: int, S: int, stride: int,
     """Top-k candidate locations per class (single image) — the proposal
     stage for matched-filter selection (detect with templates)."""
     patches, nr, nc = _extract_patches(img, S, stride)
-    patches = _normalize_patches(patches)
-    model = PatchCNN(num_classes=num_classes)
-    logits = model.apply({"params": params}, patches[..., None])
-    full = jax.nn.softmax(logits, axis=-1)
-    cls_hat = jnp.argmax(full, axis=-1)
-    gated = jnp.where(cls_hat[:, None] == jnp.arange(num_classes)[None],
-                      full[:, :num_classes], 0.0)
+    gated = _gated_map(params, patches, num_classes)
     return _topk_from_gated(gated, nc, S, stride, min(k, nr * nc))
 
 
@@ -329,16 +330,9 @@ def _classify_gated_chunked(params, patches, num_classes: int,
     pad = jnp.zeros((nb * batch,) + patches.shape[1:], patches.dtype)
     pad = jax.lax.dynamic_update_slice(pad, patches,
                                        (0,) * patches.ndim)
-    model = PatchCNN(num_classes=num_classes)
 
     def body(chunk):
-        chunk = _normalize_patches(chunk)
-        logits = model.apply({"params": params}, chunk[..., None])
-        full = jax.nn.softmax(logits, axis=-1)
-        cls_hat = jnp.argmax(full, axis=-1)
-        probs = full[:, :num_classes]
-        return jnp.where(
-            cls_hat[:, None] == jnp.arange(num_classes)[None], probs, 0.0)
+        return _gated_map(params, chunk, num_classes)
 
     gated = jax.lax.map(body, pad.reshape((nb, batch) + patches.shape[1:]))
     return gated.reshape(nb * batch, num_classes)[:P]
@@ -371,11 +365,11 @@ def detect_peaks_batch(det: "TrainedDetector", imgs):
     can swap the NCC stage for the trained PatchCNN (the reference's
     YOLO -> detections -> OD chain, sim/nadir_sim.py:94-103,220).
 
-    Scores are softmax probabilities in [0, 1] (already detector-style
-    confidences, unlike NCC scores in [-1, 1]).  With det.templates set,
-    every per-frame candidate is matched-filter re-localized
-    (imagery.refine_peaks_ncc vmapped over frames) — breaking the
-    stride-2 grid floor while keeping the CNN's presence/class decision."""
+    Without templates, scores are softmax probabilities in [0, 1] and
+    positions sit on the stride grid.  With det.templates set, top-k
+    proposals per class are matched-filter refined to sub-pixel and the
+    winner carries the CALIBRATED 0.5+0.5*ncc confidence (vetoed /
+    unproposed classes exactly 0) — see TrainedDetector.predict."""
     imgs = jnp.asarray(imgs, jnp.float32)
     if det.templates is None:
         return _detect_grid_batch(det.params, imgs, det.num_classes,

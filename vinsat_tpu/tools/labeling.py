@@ -12,6 +12,30 @@ from __future__ import annotations
 import numpy as np
 
 
+def _rows_from_projected(landmarks, to_px, width: int, height: int
+                         ) -> np.ndarray:
+    """Shared label-row assembly: project the centroid + bbox corners
+    through `to_px`, apply the reference's symmetric width/height
+    doubling (labeling/label_ld.py:69-74) and all-corners-in-bounds gate
+    (:75-79), and emit (K, 5) [cls_idx, xc_n, yc_n, w_n, h_n] rows."""
+    lm = np.asarray(landmarks, dtype=np.float64)
+    cu, cv = to_px(lm[:, 0], lm[:, 1])       # centroid
+    tlu, tlv = to_px(lm[:, 2], lm[:, 5])     # (left_lon, top_lat)
+    bru, brv = to_px(lm[:, 4], lm[:, 3])     # (right_lon, bot_lat)
+
+    ws = np.maximum(cu - tlu, bru - cu) * 2
+    hs = np.maximum(cv - tlv, brv - cv) * 2
+    inb = (
+        (tlu > 0) & (tlu < width) & (tlv > 0) & (tlv < height)
+        & (bru > 0) & (bru < width) & (brv > 0) & (brv < height)
+    )
+    idx = np.where(inb)[0]
+    return np.stack(
+        [idx.astype(np.float64), cu[idx] / width, cv[idx] / height,
+         ws[idx] / width, hs[idx] / height], axis=1
+    )
+
+
 def label_grid(landmarks: np.ndarray, lon_min: float, lat_min: float,
                lon_max: float, lat_max: float, width: int, height: int
                ) -> np.ndarray:
@@ -23,37 +47,13 @@ def label_grid(landmarks: np.ndarray, lon_min: float, lat_min: float,
     replicating the symmetric width/height doubling of label_raster
     (labeling/label_ld.py:69-74) and the in-bounds gate (:75-79).
     """
-    lm = np.asarray(landmarks, dtype=np.float64)
-    c_lon, c_lat = lm[:, 0], lm[:, 1]
-    l_lon, b_lat = lm[:, 2], lm[:, 3]
-    r_lon, t_lat = lm[:, 4], lm[:, 5]
 
     def to_px(lon, lat):
         u = (lon - lon_min) / (lon_max - lon_min) * width
         v = (lat_max - lat) / (lat_max - lat_min) * height
         return u, v
 
-    cu, cv = to_px(c_lon, c_lat)
-    tlu, tlv = to_px(l_lon, t_lat)
-    bru, brv = to_px(r_lon, b_lat)
-
-    right_w = bru - cu
-    left_w = cu - tlu
-    top_h = cv - tlv
-    bot_h = brv - cv
-    ws = np.maximum(left_w, right_w) * 2
-    hs = np.maximum(top_h, bot_h) * 2
-
-    inb = (
-        (tlu > 0) & (tlu < width) & (tlv > 0) & (tlv < height)
-        & (bru > 0) & (bru < width) & (brv > 0) & (brv < height)
-    )
-    idx = np.where(inb)[0]
-    rows = np.stack(
-        [idx.astype(np.float64), cu[idx] / width, cv[idx] / height,
-         ws[idx] / width, hs[idx] / height], axis=1
-    )
-    return rows
+    return _rows_from_projected(landmarks, to_px, width, height)
 
 
 # ---------------------------------------------------------------------------
@@ -220,11 +220,6 @@ def label_raster(landmarks: np.ndarray, transform, width: int, height: int,
     width/height doubling (:69-74) and the all-corners-in-bounds gate
     (:75-79) of the reference.
     """
-    lm = np.asarray(landmarks, dtype=np.float64)
-    c_lon, c_lat = lm[:, 0], lm[:, 1]
-    l_lon, b_lat = lm[:, 2], lm[:, 3]
-    r_lon, t_lat = lm[:, 4], lm[:, 5]
-
     proj = _parse_crs(crs)
     if proj is None:
         raise ValueError(f"unsupported CRS {crs!r}: EPSG:3857 / EPSG:4326 "
@@ -234,26 +229,7 @@ def label_raster(landmarks: np.ndarray, transform, width: int, height: int,
         x, y = proj(lon, lat)
         return transform.world_to_pixel(x, y)
 
-    cu, cv = to_px(c_lon, c_lat)
-    tlu, tlv = to_px(l_lon, t_lat)
-    bru, brv = to_px(r_lon, b_lat)
-
-    right_w = bru - cu
-    left_w = cu - tlu
-    top_h = cv - tlv
-    bot_h = brv - cv
-    ws = np.maximum(left_w, right_w) * 2
-    hs = np.maximum(top_h, bot_h) * 2
-
-    inb = (
-        (tlu > 0) & (tlu < width) & (tlv > 0) & (tlv < height)
-        & (bru > 0) & (bru < width) & (brv > 0) & (brv < height)
-    )
-    idx = np.where(inb)[0]
-    return np.stack(
-        [idx.astype(np.float64), cu[idx] / width, cv[idx] / height,
-         ws[idx] / width, hs[idx] / height], axis=1
-    )
+    return _rows_from_projected(landmarks, to_px, width, height)
 
 
 def write_yolo_labels(rows: np.ndarray, path: str):
