@@ -279,13 +279,19 @@ def test_utm_forward_invariants_and_roundtrip():
     Er, _ = lb.lonlat_to_utm(3.0 + 1.25, 52.0, 31)
     np.testing.assert_allclose(Er - 500000.0, 500000.0 - El, atol=1e-6)
 
-    # round-trip over a grid spanning the zone (and a bit beyond)
+    # round-trip over a grid spanning the zone (and a bit beyond), both
+    # hemispheres' CRS variants
     lon = np.linspace(0.2, 5.8, 7)[None, :] + np.zeros((5, 1))
     lat = np.linspace(-79, 83, 5)[:, None] + np.zeros((1, 7))
-    E, N = lb.lonlat_to_utm(lon, lat, 31, north=True)
-    lon2, lat2 = lb.utm_to_lonlat(E, N, 31, north=True)
-    np.testing.assert_allclose(lon2, lon, atol=1e-9)
-    np.testing.assert_allclose(lat2, lat, atol=1e-9)
+    for north in (True, False):
+        E, N = lb.lonlat_to_utm(lon, lat, 31, north=north)
+        lon2, lat2 = lb.utm_to_lonlat(E, N, 31, north=north)
+        np.testing.assert_allclose(lon2, lon, atol=1e-9)
+        np.testing.assert_allclose(lat2, lat, atol=1e-9)
+    # north/south falsings differ by exactly the 1e7 m offset
+    _, Nn = lb.lonlat_to_utm(2.0, -33.0, 31, north=True)
+    _, Ns = lb.lonlat_to_utm(2.0, -33.0, 31, north=False)
+    np.testing.assert_allclose(Ns - Nn, 1e7, atol=1e-6)
 
 
 def test_utm_matches_snyder_series():
