@@ -256,12 +256,20 @@ def main():
                                                     sq.det_rows)
                     eff = _crlb.efficiency(cb["crlb_final_km"],
                                            float(r.errors[-1]))
+                    # efficiency_att: against the attitude-marginalized
+                    # bound — the information limit of the estimator's OWN
+                    # 9-dof rigid-chain parameterization (evalx/crlb.py)
+                    eff_att = _crlb.efficiency(cb["crlb_att_final_km"],
+                                               float(r.errors[-1]))
                     row = {
                         "seed": s, "n_dets": len(sq.det_rows),
                         "min_err_km": round(float(r.errors.min()), 3),
                         "final_err_km": round(float(r.errors[-1]), 3),
                         "crlb_final_km": round(cb["crlb_final_km"], 3),
+                        "crlb_att_final_km": round(
+                            cb["crlb_att_final_km"], 3),
                         "efficiency": round(eff, 3),
+                        "efficiency_att": round(eff_att, 3),
                         "obs_span_s": cb["obs_span_s"],
                         "recovery_trips": int(r.recovery_trips),
                     }

@@ -52,3 +52,13 @@ def test_efficiency_column():
     assert crlb.efficiency(3.0, 2.0) == 1.0  # clipped: estimator at limit
     assert np.isnan(crlb.efficiency(float("nan"), 2.0))
     assert np.isnan(crlb.efficiency(1.0, 0.0))
+
+
+def test_crlb_attitude_marginal_dominates(seq):
+    """The attitude-marginalized bound (unknown 3-dof initial attitude,
+    the rigid-chain family) can only be LARGER than the known-attitude
+    bound — marginalizing a nuisance parameter never adds information —
+    and stays finite on observed sequences."""
+    out = crlb.terminal_crlb_km(seq.orbit_pos_eci_km, seq.det_rows)
+    assert np.isfinite(out["crlb_att_final_km"])
+    assert out["crlb_att_final_km"] >= out["crlb_final_km"] * (1 - 1e-9)

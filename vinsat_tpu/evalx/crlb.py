@@ -13,6 +13,15 @@ Model (the classic batch-OD Fisher analysis):
   * the orbit is parameterized by its initial [pos, vel] x0 (attitudes
     treated as known — they are strongly observed, so this under-states the
     bound by a little, keeping it a true lower bound);
+  * a COMPANION bound (crlb_att_final_km) additionally treats the initial
+    attitude as a 3-dof unknown transported through the known angular-rate
+    chain — exactly the 9-dof family the production rigid-chain tail
+    estimator optimizes (refine.shooting_refine_rigid), so
+    efficiency against it measures the estimator against ITS OWN
+    parameterization's information limit.  The attitude block is
+    marginalized (Schur) before the terminal propagation: attitude error
+    does not propagate through the ballistic tail, but it steals
+    information from pos/vel in the fit;
   * each gated detection contributes Fisher information
     (1/sigma_px^2) J_m^T J_m with J_m = d uv / d x0 chained through the
     RK4 transition sensitivity Phi_k = d x_k / d x_0
@@ -57,6 +66,7 @@ def terminal_crlb_km(orbit_pos_eci_km: np.ndarray, det_rows: np.ndarray,
     if M == 0 or len(graph.time_idx) < 2:
         return {"crlb_final_km": float("nan"),
                 "crlb_last_knot_km": float("nan"),
+                "crlb_att_final_km": float("nan"),
                 "n_obs": int(M), "obs_span_s": 0.0}
 
     # knot chain + the open-loop tail to the arc end as one extra gap
@@ -73,23 +83,40 @@ def terminal_crlb_km(orbit_pos_eci_km: np.ndarray, det_rows: np.ndarray,
     st10 = jnp.asarray(gt.states)
     rp = factors.reprojection_factor(st10, jnp.asarray(gt.landmarks_xyz),
                                      jnp.asarray(graph.ii), intr)
+    ii_j = jnp.asarray(graph.ii)
     Jm = jnp.einsum("mij,mjk->mik", rp.J[:, :, 0:3],
-                    Phis[jnp.asarray(graph.ii)][:, 0:3, :])  # (M, 2, 6)
-    H = jnp.einsum("mki,mkj->ij", Jm, Jm) / (noise_px ** 2)
-    # Jacobi-scaled inverse (pos ~1e3 km vs vel ~1 km/s scales)
-    s = 1.0 / jnp.sqrt(jnp.maximum(jnp.diagonal(H), 1e-30))
-    Hs = H * s[:, None] * s[None, :]
-    cov0 = (jnp.linalg.inv(Hs) * s[:, None] * s[None, :])
+                    Phis[ii_j][:, 0:3, :])  # (M, 2, 6)
 
-    def pos_bound(Phi):
-        covT = Phi @ cov0 @ Phi.T
+    def scaled_inv(H):
+        # Jacobi-scaled inverse (pos ~1e3 km vs vel ~1 km/s scales)
+        s = 1.0 / jnp.sqrt(jnp.maximum(jnp.diagonal(H), 1e-30))
+        return jnp.linalg.inv(H * s[:, None] * s[None, :]) \
+            * s[:, None] * s[None, :]
+
+    H = jnp.einsum("mki,mkj->ij", Jm, Jm) / (noise_px ** 2)
+    cov0 = scaled_inv(H)
+
+    # 9-dof variant: + the initial-attitude correction transported through
+    # the known attitude chain, q_i(d) = q_i (+) R(C_i)^T d with
+    # C_i = q_0^{-1} (x) q_i  =>  R(C_i)^T = R(q_i)^T R(q_0)
+    # (the rigid-chain family of refine.shooting_refine_rigid)
+    from vinsat_tpu.core import quat as _quat
+
+    R_all = _quat.to_matrix(st10[:, 3:7])  # (N, 3, 3)
+    Rt = jnp.einsum("nji,jk->nik", R_all, R_all[0])  # R(q_i)^T R(q_0)
+    Jphi = jnp.einsum("mij,mjk->mik", rp.J[:, :, 3:6], Rt[ii_j])
+    J9 = jnp.concatenate([Jm, Jphi], axis=-1)  # (M, 2, 9)
+    H9 = jnp.einsum("mki,mkj->ij", J9, J9) / (noise_px ** 2)
+    cov9 = scaled_inv(H9)[:6, :6]  # attitude marginalized out
+
+    def pos_bound(Phi, c0):
+        covT = Phi @ c0 @ Phi.T
         return jnp.sqrt(jnp.maximum(jnp.trace(covT[:3, :3]), 0.0))
 
-    crlb_final = float(pos_bound(Phis[-1]))
-    crlb_last = float(pos_bound(Phis[-2]))
     return {
-        "crlb_final_km": crlb_final,
-        "crlb_last_knot_km": crlb_last,
+        "crlb_final_km": float(pos_bound(Phis[-1], cov0)),
+        "crlb_last_knot_km": float(pos_bound(Phis[-2], cov0)),
+        "crlb_att_final_km": float(pos_bound(Phis[-1], cov9)),
         "n_obs": int(M),
         "obs_span_s": float(knot_t[-1] - knot_t[0]),
     }
